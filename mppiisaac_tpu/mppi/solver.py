@@ -1,0 +1,259 @@
+"""The MPPI solver — functional JAX core with full knob parity to the
+reference's external `mppi_torch` dep (SURVEY §2.2 table; contract observed at
+`/root/reference` `mppi_isaac.py:43-49` and `benchmarks/point_robot/setup/mppi.yaml`).
+
+Design (TPU-first, not a translation):
+* `command()` is ONE jitted XLA program: Cranley–Patterson-randomized Halton
+  (or Gaussian) noise → `lax.scan` over the horizon stepping the K-batched
+  dynamics → per-step batched costs → softmax weighting → control update.
+  The reference crosses the Python↔CUDA boundary H times per command and a
+  TCP hop besides; here nothing leaves the chip.
+* Sampling bases (Halton tables, B-spline interpolation matrix, Savitzky–
+  Golay coefficients) are deterministic → precomputed host-side once and
+  closed over as constants.
+* Solver state (U, λ, Σ, PRNG key) is an explicit pytree `MppiCarry`, so the
+  whole planner can itself be vmapped/scanned/sharded (e.g. ensembles).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import MPPIConfig
+from .sampling import bspline_interp_matrix, halton, savgol_coeffs
+
+
+class MppiCarry(NamedTuple):
+    U: jnp.ndarray          # (H, nu) nominal control sequence
+    lambda_: jnp.ndarray    # () temperature
+    sigma: jnp.ndarray      # (nu, nu) sampling covariance
+    key: jnp.ndarray        # PRNG key
+
+
+class MPPIPlanner:
+    """dynamics: (state_K, u_K (K,nu), t) -> state_K  (K-batched pytree)
+    running_cost: (state_K, t) -> (K,) costs
+    prior: optional (state_K, t) -> (nu,) command injected into one sample
+    vis_fn: optional (state_K) -> (K, d) per-step visualization payload
+    """
+
+    def __init__(
+        self,
+        cfg: MPPIConfig,
+        nx: int,
+        dynamics: Callable,
+        running_cost: Callable,
+        prior: Optional[Callable] = None,
+        vis_fn: Optional[Callable] = None,
+    ):
+        self.nx = nx
+        nu = np.asarray(cfg.noise_sigma, dtype=np.float64).shape[0] if cfg.noise_sigma is not None else nx
+        self.nu = nu
+        self.cfg = cfg.resolved(nu)
+        self.dynamics = dynamics
+        self.running_cost = running_cost
+        self.prior = prior
+        self.vis_fn = vis_fn
+
+        c = self.cfg
+        K, H = c.num_samples, c.horizon
+
+        # ---- static sampling bases ----
+        if c.mppi_mode == "halton-spline":
+            n_knots = max(c.spline_degree + 1, H // c.knot_scale)
+            self._interp = jnp.asarray(
+                bspline_interp_matrix(n_knots, H, c.spline_degree), jnp.float32
+            )
+            sample_dims = n_knots * nu
+            self._n_knots = n_knots
+        else:
+            self._interp = None
+            sample_dims = H * nu
+            self._n_knots = H
+        if c.sampling_method == "halton":
+            dims = min(sample_dims, 128)
+            self._halton_base = jnp.asarray(halton(K, dims, skip=1), jnp.float32)
+            self._halton_dims = dims
+            self._sample_dims = sample_dims
+        else:
+            self._halton_base = None
+            self._sample_dims = sample_dims
+
+        if c.filter_u:
+            w = min(H if H % 2 == 1 else H - 1, 9)
+            self._sg = jnp.asarray(savgol_coeffs(w, 2), jnp.float32) if w >= 5 else None
+        else:
+            self._sg = None
+
+        self._command = jax.jit(self._command_impl)
+        self.carry = self.init_carry()
+
+    # ------------------------------------------------------------------
+    def init_carry(self) -> MppiCarry:
+        c = self.cfg
+        U0 = (
+            jnp.asarray(c.U_init, jnp.float32)
+            if c.U_init is not None
+            else jnp.broadcast_to(jnp.asarray(c.u_init, jnp.float32), (c.horizon, self.nu)).copy()
+        )
+        return MppiCarry(
+            U=U0,
+            lambda_=jnp.asarray(c.lambda_, jnp.float32),
+            sigma=jnp.asarray(c.noise_sigma, jnp.float32),
+            key=jax.random.PRNGKey(c.seed_val),
+        )
+
+    # ------------------------------------------------------------------
+    def _sample_noise(self, key, sigma):
+        """→ (K, H, nu) noise ε with covariance `sigma` per (sample, step)."""
+        c = self.cfg
+        K, H, nu = c.num_samples, c.horizon, self.nu
+        L = jnp.linalg.cholesky(
+            sigma + jnp.eye(nu, dtype=sigma.dtype) * 1e-8
+        )
+        if c.sampling_method == "halton":
+            # Cranley–Patterson rotation refreshes the deterministic table
+            shift = jax.random.uniform(key, (self._sample_dims,))
+            if self._sample_dims <= self._halton_dims:
+                u01 = jnp.mod(self._halton_base[:, : self._sample_dims] + shift, 1.0)
+            else:
+                reps = -(-self._sample_dims // self._halton_dims)
+                tiled = jnp.tile(self._halton_base, (1, reps))[:, : self._sample_dims]
+                u01 = jnp.mod(tiled + shift, 1.0)
+            z = jax.scipy.special.ndtri(jnp.clip(u01, 1e-6, 1 - 1e-6))
+            z = z.reshape(K, self._n_knots, nu)
+        else:
+            z = jax.random.normal(key, (K, self._n_knots, nu))
+        eps = jnp.einsum("ktj,ij->kti", z, L) + jnp.asarray(c.noise_mu, jnp.float32)
+        if self._interp is not None:
+            # (H, n_knots) @ (K, n_knots, nu) → (K, H, nu)
+            eps = jnp.einsum("ht,ktn->khn", self._interp, eps)
+        return eps
+
+    # ------------------------------------------------------------------
+    def _command_impl(self, carry: MppiCarry, state0):
+        c = self.cfg
+        K, H, nu = c.num_samples, c.horizon, self.nu
+        key, sub = jax.random.split(carry.key)
+        eps = self._sample_noise(sub, carry.sigma)            # (K,H,nu)
+
+        u_min = jnp.asarray(c.u_min, jnp.float32)
+        u_max = jnp.asarray(c.u_max, jnp.float32)
+        V = jnp.clip(carry.U[None] + eps, u_min, u_max)       # (K,H,nu)
+        if c.sample_null_action:
+            V = V.at[K - 1].set(0.0)
+        eps_eff = V - carry.U[None]
+
+        sigma_inv = jnp.linalg.inv(
+            carry.sigma + jnp.eye(nu, dtype=carry.sigma.dtype) * 1e-8
+        )
+
+        gamma = jnp.asarray(c.rollout_var_discount, jnp.float32) ** jnp.arange(H)
+
+        def scan_body(state, inp):
+            t, u_t = inp                                      # u_t (K,nu)
+            if self.prior is not None and c.use_priors:
+                pu = self.prior(state, t)                     # (nu,)
+                u_t = u_t.at[K - 2].set(jnp.clip(pu, u_min, u_max))
+            state = self.dynamics(state, u_t * c.u_scale, t)
+            cost = self.running_cost(state, t)                # (K,)
+            vis = self.vis_fn(state) if self.vis_fn is not None else jnp.zeros((K, 0))
+            return state, (cost, vis)
+
+        ts = jnp.arange(H)
+        _, (costs, vis) = jax.lax.scan(
+            scan_body, state0, (ts, V.transpose(1, 0, 2))
+        )
+        costs = costs.T                                        # (K,H)
+
+        # action (control-noise) cost — MPPI information-theoretic term
+        if c.noise_abs_cost:
+            act_cost = carry.lambda_ * jnp.einsum(
+                "khj,ij->khi", jnp.abs(eps_eff), jnp.abs(sigma_inv)
+            )
+            action_cost = jnp.sum(jnp.abs(carry.U[None]) * act_cost, axis=(-1, -2))
+        else:
+            act_cost = carry.lambda_ * jnp.einsum("khj,ij->khi", eps_eff, sigma_inv)
+            action_cost = jnp.sum(carry.U[None] * act_cost, axis=(-1, -2))
+
+        S = jnp.sum(costs * gamma[None], axis=1) + action_cost  # (K,)
+        beta = jnp.min(S)
+        scaled = -(S - beta) / jnp.maximum(carry.lambda_, 1e-6)
+        eta = jnp.sum(jnp.exp(scaled))
+        w = jnp.exp(scaled) / eta                               # (K,)
+
+        U_new = carry.U + jnp.einsum("k,khn->hn", w, eps_eff)
+        if self._sg is not None:
+            half = self._sg.shape[0] // 2
+            Upad = jnp.concatenate(
+                [U_new[:1].repeat(half, 0), U_new, U_new[-1:].repeat(half, 0)], 0
+            )
+            U_new = jnp.stack(
+                [
+                    jnp.einsum(
+                        "w,wn->n", self._sg, jax.lax.dynamic_slice_in_dim(Upad, t, self._sg.shape[0], 0)
+                    )
+                    for t in range(H)
+                ]
+            )
+        U_new = jnp.clip(U_new, u_min, u_max)
+
+        action = U_new[: c.u_per_command] * c.u_scale          # (u_per_command, nu)
+
+        # shift for next iteration
+        U_shift = jnp.concatenate(
+            [
+                U_new[c.u_per_command :],
+                jnp.broadcast_to(
+                    jnp.asarray(c.u_init, jnp.float32), (c.u_per_command, nu)
+                ),
+            ]
+        )
+
+        lam = carry.lambda_
+        if c.update_lambda:
+            lam = jnp.where(
+                eta > c.eta_u_bound,
+                lam * 0.9,
+                jnp.where(eta < c.eta_l_bound, lam * 1.1, lam),
+            )
+            lam = jnp.clip(lam, 1e-4, 1e2)
+
+        sigma = carry.sigma
+        if c.update_cov:
+            weighted = jnp.einsum("k,khi,khj->ij", w, eps_eff, eps_eff) / H
+            sigma = 0.9 * sigma + 0.1 * weighted
+            sigma = sigma + jnp.eye(nu, dtype=sigma.dtype) * 1e-5
+
+        new_carry = MppiCarry(U=U_shift, lambda_=lam, sigma=sigma, key=key)
+        info = {
+            "costs": S,
+            "weights": w,
+            "eta": eta,
+            "vis": vis,          # (H, K, d) per-step visualization payload
+            "best_cost": beta,
+        }
+        return action, new_carry, info
+
+    # ------------------------------------------------------------------
+    def command(self, state0):
+        """Stateful convenience wrapper (parity with mppi_torch's
+        `MPPIPlanner.command(state)`, `mppi_isaac.py:84,113`). Returns the
+        (u_per_command, nu) action (squeezed to (nu,) when 1)."""
+        action, self.carry, self.last_info = self._command(self.carry, state0)
+        if self.cfg.u_per_command == 1:
+            return action[0]
+        return action
+
+    def reset(self):
+        self.carry = self.init_carry()
+
+    def update_noise_sigma(self, sigma):
+        """Online re-tuning (parity: `update_mppi_params` rebuilds the planner,
+        `mppi_isaac.py:129-137` — here it's one pytree field)."""
+        self.cfg.noise_sigma = np.asarray(sigma, dtype=np.float64)
+        self.carry = self.carry._replace(sigma=jnp.asarray(sigma, jnp.float32))
