@@ -127,9 +127,14 @@ def _parse_geometry(geo: ET.Element, pos: np.ndarray, quat: np.ndarray) -> Optio
     if cyl is not None:
         r = float(cyl.get("radius"))
         l = float(cyl.get("length"))
-        # capsule along local z with half-length reduced so total reach ≈ cylinder
-        hl = max(l / 2.0 - r, 1e-4)
-        return UrdfGeom(GEOM_CAPSULE, np.array([r, hl, 0.0]), pos, quat)
+        if l >= 2.0 * r:
+            # elongated: capsule along local z, half-length reduced so the
+            # total reach matches the cylinder
+            hl = max(l / 2.0 - r, 1e-4)
+            return UrdfGeom(GEOM_CAPSULE, np.array([r, hl, 0.0]), pos, quat)
+        # squat (puck-like, e.g. robot bases): box approximation — a capsule
+        # would inflate the vertical extent by the radius
+        return UrdfGeom(GEOM_BOX, np.array([r * 0.85, r * 0.85, l / 2.0]), pos, quat)
     cap = geo.find("capsule")
     if cap is not None:
         r = float(cap.get("radius"))

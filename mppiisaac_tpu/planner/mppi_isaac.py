@@ -1,0 +1,179 @@
+"""MPPIisaacPlanner — the planner orchestrator.
+
+API parity with the reference's class of the same name
+(`/root/reference` `mppiisaac/planner/mppi_isaac.py:18-137`): `compute_action`,
+`compute_action_tensor`, `reset_rollout_sim`, `command`, `get_rollouts`,
+`update_weights`, `update_mppi_params`, `add_to_env`.
+
+Architecture inversion: the reference's dynamics callback mutates a stateful
+C++ sim and returns a placeholder; here dynamics/cost are pure functions over
+a K-batched SimState pytree and the whole `command()` is one jitted XLA
+program (sample → H-step lax.scan rollout → cost → update). Rollout-sim reset
+is just "broadcast the world state K-wide" — exact, including rigid-body state
+the reference cannot restore (`mppi_isaac.py:101-105`).
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..mppi.solver import MPPIPlanner
+from ..runtime.sim import Simulation, broadcast_state, sample_model_params
+from ..runtime.transport import bytes_to_jnp, jnp_to_bytes
+from ..utils.config_store import ExampleConfig
+from .observables import SimView
+
+
+class MPPIisaacPlanner:
+    def __init__(
+        self,
+        cfg: ExampleConfig,
+        objective,
+        prior: Optional[Callable] = None,
+        randomize: bool = True,
+    ):
+        self.cfg = cfg
+        self.objective = objective
+        K = cfg.mppi.num_samples
+
+        self.sim = Simulation(
+            cfg=cfg.isaacgym,
+            actors=cfg.actors,
+            init_positions=cfg.initial_actor_positions,
+            num_envs=K,
+            device=cfg.mppi.device,
+            randomize=randomize,
+            seed=cfg.mppi.seed_val,
+        )
+        built = self.sim.built
+        engine = self.sim.engine
+        params_K = self.sim.params if randomize else None
+        if params_K is None:
+            params_K = sample_model_params(built, engine, K, seed=cfg.mppi.seed_val)
+        self._params_K = params_K
+        step_K = jax.vmap(engine.step)
+
+        def dynamics(state, u, t):
+            tgt = built.cmd_map.apply(u)          # (K, ndof)
+            state = state._replace(dof_target=tgt)
+            return step_K(state, self._params_K)
+
+        def running_cost(state, t):
+            return self.objective.compute_cost(SimView(built, state))
+
+        if built.visualize_bodies:
+            vb = built.visualize_bodies[0]
+
+            def vis_fn(state):
+                return state.body_pos[:, vb]
+        else:
+            vis_fn = None
+
+        if prior is not None:
+            def prior_fn(state, t):
+                return prior.compute_command(SimView(built, state))
+        else:
+            prior_fn = None
+
+        self.mppi = MPPIPlanner(
+            cfg.mppi,
+            cfg.nx,
+            dynamics=dynamics,
+            running_cost=running_cost,
+            prior=prior_fn,
+            vis_fn=vis_fn,
+        )
+        self._last_vis = None
+
+    # ------------------------------------------------------------------
+    @property
+    def built(self):
+        return self.sim.built
+
+    def update_objective(self, objective):
+        self.objective = objective
+
+    # ------------------------------------------------------------------
+    def _command_from_current_state(self) -> jnp.ndarray:
+        action = self.mppi.command(self.sim.state)
+        self._last_vis = self.mppi.last_info.get("vis")
+        return action
+
+    def compute_action(self, q, qdot, obst=None, obst_tensor=None) -> np.ndarray:
+        """Direct-call entry (benchmark path, reference `mppi_isaac.py:71-85`)."""
+        self.sim.reset_root_state()
+        self.sim.reset_robot_state(q, qdot)
+        if obst is not None:
+            self.sim.update_root_state_by_obstacles(obst)
+        if obst_tensor is not None:
+            self.sim.update_root_state_by_obstacles(
+                [np.asarray(o)[:3] for o in obst_tensor]
+            )
+        self.sim.save_root_state()
+        return np.asarray(self._command_from_current_state())
+
+    def reset_rollout_sim(self, dof_state_tensor, root_state_tensor):
+        dof = bytes_to_jnp(dof_state_tensor)       # (D,2) or flat (2D,)
+        root = bytes_to_jnp(root_state_tensor)     # (A,13)
+        if dof.ndim == 1:
+            dof = dof.reshape(-1, 2)
+        K = self.cfg.mppi.num_samples
+        st = self.sim.state
+        st = st.with_dof_state(jnp.broadcast_to(dof, (K,) + dof.shape))
+        st = st.with_root_state(jnp.broadcast_to(root, (K,) + root.shape))
+        self.sim.state = self.sim._refresh_fn(st)
+
+    def reset_rollout_from_state(self, world_state):
+        """Zero-copy on-device path: broadcast a 1-env world SimState K-wide
+        (collapses the reference's serialize→TCP→deserialize round-trip,
+        `transport.py:5-14` + `mppi_isaac.py:87-99`)."""
+        K = self.cfg.mppi.num_samples
+
+        def bc(x):
+            return jnp.broadcast_to(x[0], (K,) + x.shape[1:])
+
+        self.sim.state = jax.tree.map(bc, world_state)
+
+    def compute_action_from_state(self, world_state) -> jnp.ndarray:
+        self.objective.reset()
+        self.reset_rollout_from_state(world_state)
+        return self._command_from_current_state()
+
+    def compute_action_tensor(self, dof_state_tensor, root_state_tensor) -> bytes:
+        """RPC-facing entry (reference `mppi_isaac.py:107-110`)."""
+        self.objective.reset()
+        self.reset_rollout_sim(dof_state_tensor, root_state_tensor)
+        return self.command()
+
+    def command(self) -> bytes:
+        return jnp_to_bytes(self._command_from_current_state())
+
+    def add_to_env(self, env_cfg_additions):
+        self.sim.add_to_envs(env_cfg_additions)
+        # geometry changed → rebuild the solver closures over the new scene
+        self.__init__(self.cfg, self.objective, randomize=False)
+
+    def get_rollouts(self) -> bytes:
+        """(H, K, 3) visualize-link trajectories of the last command
+        (reference `get_rollouts`, `mppi_isaac.py:118-124`)."""
+        if self._last_vis is None or self._last_vis.shape[-1] == 0:
+            return jnp_to_bytes(np.zeros((1, 1, 1), np.float32))
+        return jnp_to_bytes(self._last_vis)
+
+    def get_rollouts_array(self) -> np.ndarray:
+        if self._last_vis is None:
+            return np.zeros((1, 1, 3), np.float32)
+        return np.asarray(self._last_vis)
+
+    def update_weights(self, weights):
+        self.objective.weights = weights
+
+    def update_mppi_params(self, params):
+        if "noise_sigma" in params:
+            self.mppi.update_noise_sigma(params["noise_sigma"])
+        for k, v in params.items():
+            if k != "noise_sigma" and hasattr(self.mppi.cfg, k):
+                setattr(self.mppi.cfg, k, v)

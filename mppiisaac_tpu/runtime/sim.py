@@ -1,0 +1,340 @@
+"""Simulation — the user-facing sim wrapper (capability parity with the
+reference's `IsaacGymWrapper`, `/root/reference` `isaacgym_wrapper.py:83-774`).
+
+Unlike the reference (a stateful C++ sim with acquire/refresh/set tensor
+plumbing), this wrapper is a thin convenience shell around a pure jitted step:
+state is ONE batched pytree attribute; every mutator is a functional update.
+It exists for the "world" side and for scripts/tests; the MPPI planner uses
+the pure functions directly.
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..physics.step import Engine
+from ..physics.types import ModelParams, SimState
+from ..planner.observables import SimView
+from ..scene.actor import ActorSpec, load_actor_cfgs
+from ..scene.builder import BuiltScene, SimConfig, build_scene
+from ..utils.config_store import actors_conf_dir
+
+
+def broadcast_state(state: SimState, K: int) -> SimState:
+    return jax.tree.map(lambda x: jnp.broadcast_to(x, (K,) + x.shape), state)
+
+
+def sample_model_params(
+    built: BuiltScene, engine: Engine, K: int, seed: int = 0
+) -> ModelParams:
+    """Per-env domain randomization (mass/friction noise — reference does this
+    once per process, `isaacgym_wrapper.py:450-482`; per-env is strictly
+    stronger)."""
+    scene = built.scene
+    rng = np.random.RandomState(seed)
+    mass_scale = np.ones((K, scene.nbody), dtype=np.float32)
+    fric_scale = np.ones((K, scene.ngeom), dtype=np.float32)
+    geom_cursor = 0
+    for ai, (spec, art) in enumerate(zip(built.specs, scene.actors)):
+        bsl = slice(scene.body_offset[ai], scene.body_offset[ai] + art.nbody)
+        ng = len(art.geoms)
+        if spec.noise_percentage_mass > 0:
+            mass_scale[:, bsl] *= 1.0 + rng.uniform(
+                -spec.noise_percentage_mass, spec.noise_percentage_mass, size=(K, 1)
+            ).astype(np.float32)
+        if spec.noise_percentage_friction > 0 and ng:
+            fric_scale[:, geom_cursor : geom_cursor + ng] *= 1.0 + rng.uniform(
+                -spec.noise_percentage_friction,
+                spec.noise_percentage_friction,
+                size=(K, 1),
+            ).astype(np.float32)
+        geom_cursor += ng
+    return ModelParams(
+        body_mass_scale=jnp.asarray(mass_scale), geom_friction=jnp.asarray(fric_scale)
+    )
+
+
+class Simulation:
+    """Batched sim with the reference wrapper's API surface."""
+
+    def __init__(
+        self,
+        cfg: Optional[SimConfig] = None,
+        actors: Sequence[Union[str, ActorSpec, dict]] = (),
+        init_positions: Optional[List[List[float]]] = None,
+        num_envs: int = 1,
+        viewer: bool = False,
+        device: str = "tpu",
+        conf_dir: Optional[str] = None,
+        randomize: bool = False,
+        seed: int = 0,
+    ):
+        self.cfg = cfg or SimConfig()
+        if viewer:
+            self.cfg.viewer = True
+        self.num_envs = num_envs
+        self.device = device
+        self._conf_dir = conf_dir or actors_conf_dir()
+        self._seed = seed
+        self._randomize = randomize
+        self.env_cfg: List[ActorSpec] = self._resolve_specs(actors)
+        self._init_positions = init_positions
+        self.restarted = 0
+        self.visualize_link_buffer: List[jnp.ndarray] = []
+        self.start_sim()
+
+    # ------------------------------------------------------------------
+    def _resolve_specs(self, actors) -> List[ActorSpec]:
+        specs = []
+        for a in actors:
+            if isinstance(a, ActorSpec):
+                specs.append(a)
+            elif isinstance(a, dict):
+                specs.append(ActorSpec.from_dict(a))
+            else:
+                specs.append(load_actor_cfgs([a], self._conf_dir)[0])
+        return specs
+
+    def start_sim(self):
+        self.built = build_scene(
+            self.env_cfg, self.cfg, self._init_positions,
+            seed=self._seed if self._randomize else None,
+        )
+        self.engine = Engine(self.built.scene)
+        self.params = sample_model_params(
+            self.built, self.engine, self.num_envs,
+            seed=self._seed if self._randomize else 10**9,
+        )
+        if not self._randomize:
+            self.params = ModelParams(
+                body_mass_scale=jnp.ones((self.num_envs, self.built.scene.nbody), jnp.float32),
+                geom_friction=jnp.ones((self.num_envs, self.built.scene.ngeom), jnp.float32),
+            )
+        self._step_fn = jax.jit(jax.vmap(self.engine.step))
+        self._refresh_fn = jax.jit(jax.vmap(self.engine.refresh))
+        self.state = broadcast_state(
+            self.built.initial_state(self.engine), self.num_envs
+        )
+        self._initial_state = self.state
+        self.saved_root_state = None
+        self.restarted += 1
+
+    def stop_sim(self):
+        """Parity no-op: the jitted step is dropped on rebuild."""
+        self._step_fn = None
+
+    def add_to_envs(self, additions: List[dict]):
+        """Geometry change → rebuild + retrace (reference restarts the sim the
+        same way, `isaacgym_wrapper.py:423-427`; SURVEY §3.5)."""
+        carry_state = self.state
+        for a in additions:
+            self.env_cfg.append(ActorSpec.from_dict(a))
+        old_nactor = carry_state.root_pos.shape[-2]
+        self.start_sim()
+        # preserve poses of pre-existing actors
+        self.state = self.state._replace(
+            root_pos=self.state.root_pos.at[:, :old_nactor].set(carry_state.root_pos),
+            root_quat=self.state.root_quat.at[:, :old_nactor].set(carry_state.root_quat),
+            root_linvel=self.state.root_linvel.at[:, :old_nactor].set(carry_state.root_linvel),
+            root_angvel=self.state.root_angvel.at[:, :old_nactor].set(carry_state.root_angvel),
+            q=self.state.q.at[:, : carry_state.q.shape[-1]].set(carry_state.q),
+            qd=self.state.qd.at[:, : carry_state.qd.shape[-1]].set(carry_state.qd),
+        )
+        self.state = self._refresh_fn(self.state)
+
+    # ------------------------------------------------------------------
+    @property
+    def scene(self):
+        return self.built.scene
+
+    @property
+    def view(self) -> SimView:
+        return SimView(self.built, self.state)
+
+    # raw tensors (reference layout)
+    @property
+    def root_state(self):
+        return self.state.root_state
+
+    @property
+    def dof_state(self):
+        return self.state.dof_state
+
+    @property
+    def rigid_body_state(self):
+        return self.state.rigid_body_state
+
+    @property
+    def net_cf(self):
+        return self.state.net_contact_force
+
+    @property
+    def num_bodies(self):
+        return self.built.scene.nbody
+
+    @property
+    def nu(self) -> int:
+        return self.built.cmd_map.nu
+
+    # ------------------------------------------------------------------
+    def apply_robot_cmd(self, u):
+        """u: (nu,) or (K, nu) — velocity/position targets or efforts
+        depending on each robot's dof_mode (reference `apply_robot_cmd`,
+        `isaacgym_wrapper.py:524-572`, incl. diff-drive IK + gripper binarize)."""
+        u = jnp.asarray(u, jnp.float32)
+        if u.ndim == 1:
+            u = jnp.broadcast_to(u, (self.num_envs, u.shape[0]))
+        tgt = self.built.cmd_map.apply(u)
+        self.state = self.state._replace(dof_target=tgt)
+
+    def step(self):
+        self.state = self._step_fn(self.state, self.params)
+        if self.built.visualize_bodies:
+            self.visualize_link_buffer.append(
+                self.state.body_pos[:, self.built.visualize_bodies[0]]
+            )
+
+    # ------------------------------------------------------------------
+    # state save/restore (reference `save_root_state`/`reset_root_state`,
+    # `isaacgym_wrapper.py:662-675`; here bit-exact and covering ALL state)
+    def save_root_state(self):
+        self.saved_root_state = (
+            self.state.root_pos, self.state.root_quat,
+            self.state.root_linvel, self.state.root_angvel,
+        )
+
+    def reset_root_state(self):
+        self.visualize_link_buffer = []
+        if self.saved_root_state is not None:
+            rp, rq, rl, ra = self.saved_root_state
+            self.state = self.state._replace(
+                root_pos=rp, root_quat=rq, root_linvel=rl, root_angvel=ra
+            )
+
+    def save_state(self) -> SimState:
+        return self.state
+
+    def restore_state(self, state: SimState):
+        self.state = state
+
+    def reset_to_initial_poses(self):
+        self.state = self._initial_state
+        self.visualize_link_buffer = []
+
+    # ------------------------------------------------------------------
+    def set_dof_state(self, dof_state):
+        """dof_state: (D,2) or (K,D,2) or interleaved flat (2D,)"""
+        ds = jnp.asarray(dof_state, jnp.float32)
+        if ds.ndim == 1:
+            ds = ds.reshape(-1, 2)
+        if ds.ndim == 2:
+            ds = jnp.broadcast_to(ds, (self.num_envs,) + ds.shape)
+        self.state = self.state.with_dof_state(ds)
+        self.state = self._refresh_fn(self.state)
+
+    def set_root_state(self, root_state):
+        rs = jnp.asarray(root_state, jnp.float32)
+        if rs.ndim == 2:
+            rs = jnp.broadcast_to(rs, (self.num_envs,) + rs.shape)
+        self.state = self.state.with_root_state(rs)
+        self.state = self._refresh_fn(self.state)
+
+    def reset_robot_state(self, q, qdot):
+        """Generalized robot reset from flat (q, qdot) lists — handles
+        diff-drive base coordinates like the reference (`reset_robot_state`,
+        `isaacgym_wrapper.py:574-619`)."""
+        from ..physics.math3d import quat_from_euler_zyx
+
+        q = np.asarray(q, dtype=np.float32).reshape(-1)
+        qdot = np.asarray(qdot, dtype=np.float32).reshape(-1)
+        scene = self.built.scene
+        new_q = np.asarray(self.state.q[0]).copy()
+        new_qd = np.asarray(self.state.qd[0]).copy()
+        root_pos = np.asarray(self.state.root_pos[0]).copy()
+        root_quat = np.asarray(self.state.root_quat[0]).copy()
+        root_lin = np.asarray(self.state.root_linvel[0]).copy()
+        root_ang = np.asarray(self.state.root_angvel[0]).copy()
+        qi = 0
+        for ai, (spec, art) in enumerate(zip(self.built.specs, scene.actors)):
+            if spec.type != "robot":
+                continue
+            off = scene.dof_offset[ai]
+            if spec.differential_drive:
+                x, y, yaw = q[qi], q[qi + 1], q[qi + 2]
+                vx, vy, wz = qdot[qi], qdot[qi + 1], qdot[qi + 2]
+                root_pos[ai, 0], root_pos[ai, 1] = x, y
+                root_quat[ai] = np.asarray(
+                    quat_from_euler_zyx(jnp.zeros(()), jnp.zeros(()), jnp.asarray(yaw))
+                )
+                root_lin[ai, 0], root_lin[ai, 1] = vx, vy
+                root_ang[ai, 2] = wz
+                wheel_count = int(spec.wheel_count or 2)
+                n_arm = art.ndof - wheel_count
+                new_q[off : off + n_arm] = q[qi + 3 : qi + 3 + n_arm]
+                new_qd[off : off + n_arm] = qdot[qi + 3 : qi + 3 + n_arm]
+                qi += 3 + n_arm
+            else:
+                n = art.ndof
+                new_q[off : off + n] = q[qi : qi + n]
+                new_qd[off : off + n] = qdot[qi : qi + n]
+                qi += n
+        K = self.num_envs
+        self.state = self.state._replace(
+            q=jnp.broadcast_to(jnp.asarray(new_q), (K,) + new_q.shape),
+            qd=jnp.broadcast_to(jnp.asarray(new_qd), (K,) + new_qd.shape),
+            root_pos=jnp.broadcast_to(jnp.asarray(root_pos), (K,) + root_pos.shape),
+            root_quat=jnp.broadcast_to(jnp.asarray(root_quat), (K,) + root_quat.shape),
+            root_linvel=jnp.broadcast_to(jnp.asarray(root_lin), (K,) + root_lin.shape),
+            root_angvel=jnp.broadcast_to(jnp.asarray(root_ang), (K,) + root_ang.shape),
+        )
+        self.state = self._refresh_fn(self.state)
+
+    # ------------------------------------------------------------------
+    # named getters / setters (reference getters 298-356, setters 362-406)
+    def get_actor_position_by_name(self, name: str):
+        return self.state.root_pos[:, self.scene.actor_index(name)]
+
+    def get_actor_orientation_by_name(self, name: str):
+        return self.state.root_quat[:, self.scene.actor_index(name)]
+
+    def get_actor_velocity_by_name(self, name: str):
+        return self.state.root_linvel[:, self.scene.actor_index(name)]
+
+    def get_actor_link_by_name(self, link: str, actor: Optional[str] = None):
+        return self.state.body_pos[:, self.scene.body_index(link, actor)]
+
+    def set_actor_position_by_name(self, name: str, position):
+        ai = self.scene.actor_index(name)
+        pos = jnp.asarray(position, jnp.float32)
+        if pos.ndim == 1:
+            pos = jnp.broadcast_to(pos, (self.num_envs, 3))
+        self.state = self.state._replace(
+            root_pos=self.state.root_pos.at[:, ai].set(pos)
+        )
+        self.state = self._refresh_fn(self.state)
+
+    def update_root_state_by_obstacles(self, obstacles):
+        """Update obstacle actor root poses from an external observation list
+        (reference `update_root_state_tensor_by_obstacles`,
+        `isaacgym_wrapper.py:695-746`: name-matched, restart on size change —
+        here a pose update; size changes require add_to_envs/rebuild)."""
+        non_robot = [
+            (ai, s) for ai, s in enumerate(self.built.specs)
+            if s.type in ("sphere", "box") and not s.fixed
+        ]
+        rp = self.state.root_pos
+        rl = self.state.root_linvel
+        for o_idx, obst in enumerate(obstacles):
+            if o_idx >= len(non_robot):
+                break
+            ai, _ = non_robot[o_idx]
+            pos = jnp.asarray(obst[0] if isinstance(obst, (list, tuple)) else obst, jnp.float32)
+            rp = rp.at[:, ai].set(jnp.broadcast_to(pos[:3], (self.num_envs, 3)))
+            if isinstance(obst, (list, tuple)) and len(obst) > 1:
+                vel = jnp.asarray(obst[1], jnp.float32)
+                rl = rl.at[:, ai].set(jnp.broadcast_to(vel[:3], (self.num_envs, 3)))
+        self.state = self.state._replace(root_pos=rp, root_linvel=rl)
+        self.state = self._refresh_fn(self.state)

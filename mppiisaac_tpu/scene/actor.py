@@ -1,0 +1,70 @@
+"""ActorSpec — declarative per-actor scene configuration.
+
+Field-for-field parity with the reference's `ActorWrapper` dataclass
+(`/root/reference` `isaacgym_wrapper.py:49-77`): same names, same semantics, so
+reference actor YAMLs load unchanged. TPU-native extensions are grouped at the
+bottom.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, List, Optional
+
+import yaml
+
+
+@dataclass
+class ActorSpec:
+    type: str                                   # robot | sphere | box | axis
+    name: str
+    dof_mode: str = "velocity"                  # velocity | position | effort
+    init_pos: List[float] = field(default_factory=lambda: [0.0, 0.0, 0.0])
+    init_ori: List[float] = field(default_factory=lambda: [0.0, 0.0, 0.0, 1.0])
+    size: List[float] = field(default_factory=lambda: [0.1, 0.1, 0.1])
+    mass: float = 1.0
+    color: List[float] = field(default_factory=lambda: [1.0, 1.0, 1.0])
+    fixed: bool = False
+    collision: bool = True
+    friction: float = 1.0
+    handle: Optional[int] = None                # parity field (unused)
+    flip_visual: bool = False                   # parity field (visual-only)
+    urdf_file: Optional[str] = None
+    visualize_link: Optional[str] = None
+    gravity: bool = True
+    differential_drive: bool = False
+    init_joint_pose: Optional[List[float]] = None   # interleaved (q, qd) pairs
+    wheel_radius: Optional[float] = None
+    wheel_base: Optional[float] = None
+    wheel_count: Optional[float] = None
+    left_wheel_joints: Optional[List[str]] = None
+    right_wheel_joints: Optional[List[str]] = None
+    caster_links: Optional[List[str]] = None
+    noise_sigma_size: Optional[List[float]] = None
+    noise_percentage_mass: float = 0.0
+    noise_percentage_friction: float = 0.0
+    # --- TPU-native extensions ---
+    gripper_binarize: bool = False              # panda_gripper behavior
+    armature: float = 0.0
+
+    @staticmethod
+    def from_dict(d: dict) -> "ActorSpec":
+        d = dict(d)
+        d.pop("handle", None)
+        known = {f for f in ActorSpec.__dataclass_fields__}
+        extra = {k: v for k, v in d.items() if k not in known}
+        if extra:
+            raise ValueError(f"unknown ActorSpec fields: {sorted(extra)}")
+        return ActorSpec(**d)
+
+
+def load_actor_yaml(path: str) -> ActorSpec:
+    with open(path) as f:
+        return ActorSpec.from_dict(yaml.safe_load(f))
+
+
+def load_actor_cfgs(names: List[str], conf_dir: str) -> List[ActorSpec]:
+    """Load actor specs by name from a conf/actors directory (parity:
+    reference `isaacgym_utils.py:70-78`)."""
+    import os
+
+    return [load_actor_yaml(os.path.join(conf_dir, f"{n}.yaml")) for n in names]
