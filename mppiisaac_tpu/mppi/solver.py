@@ -89,6 +89,10 @@ class MPPIPlanner:
         else:
             self._sg = None
 
+        # when set (parallel.sharding), softmax reductions become cross-chip
+        # collectives over this mesh axis
+        self.axis_name: Optional[str] = None
+
         self._command = jax.jit(self._command_impl)
         self.carry = self.init_carry()
 
@@ -181,12 +185,20 @@ class MPPIPlanner:
             action_cost = jnp.sum(carry.U[None] * act_cost, axis=(-1, -2))
 
         S = jnp.sum(costs * gamma[None], axis=1) + action_cost  # (K,)
+        ax = self.axis_name
         beta = jnp.min(S)
+        if ax is not None:
+            beta = jax.lax.pmin(beta, ax)
         scaled = -(S - beta) / jnp.maximum(carry.lambda_, 1e-6)
         eta = jnp.sum(jnp.exp(scaled))
-        w = jnp.exp(scaled) / eta                               # (K,)
+        if ax is not None:
+            eta = jax.lax.psum(eta, ax)
+        w = jnp.exp(scaled) / eta                               # (K,) global weights
 
-        U_new = carry.U + jnp.einsum("k,khn->hn", w, eps_eff)
+        dU = jnp.einsum("k,khn->hn", w, eps_eff)
+        if ax is not None:
+            dU = jax.lax.psum(dU, ax)
+        U_new = carry.U + dU
         if self._sg is not None:
             half = self._sg.shape[0] // 2
             Upad = jnp.concatenate(
@@ -226,6 +238,8 @@ class MPPIPlanner:
         sigma = carry.sigma
         if c.update_cov:
             weighted = jnp.einsum("k,khi,khj->ij", w, eps_eff, eps_eff) / H
+            if ax is not None:
+                weighted = jax.lax.psum(weighted, ax)
             sigma = 0.9 * sigma + 0.1 * weighted
             sigma = sigma + jnp.eye(nu, dtype=sigma.dtype) * 1e-5
 

@@ -1,0 +1,90 @@
+"""Multi-chip sample-parallelism: shard K rollouts over a 1-D device mesh.
+
+The reference is single-GPU (SURVEY §2.4); its only parallel axis is K
+identical envs inside one PhysX scene. Here the same axis shards across chips:
+rollouts are embarrassingly parallel, and the ONLY cross-chip communication in
+an MPPI iteration is the softmax-weight reduction over per-sample costs
+(SURVEY §5 'long-context' note) — a handful of psums riding the ICI.
+
+Implementation: `shard_map` over Mesh(("k",)). Noise is sampled per-shard by
+folding the shard index into the PRNG key; β=min(S), η=Σexp and the weighted
+noise sum Σ w_k ε_k become `psum`/`pmin` collectives. Everything else runs
+unmodified per shard.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding
+from jax.sharding import PartitionSpec as P
+
+
+def make_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
+    devs = list(devices if devices is not None else jax.devices())
+    n = n_devices or len(devs)
+    return Mesh(np.array(devs[:n]).reshape(n), ("k",))
+
+
+def shard_batched_state(state, mesh: Mesh):
+    """Place a K-leading batched pytree with its K axis sharded over the mesh."""
+    sharding = NamedSharding(mesh, P("k"))
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), state)
+
+
+def sharded_command(planner_mppi, mesh: Mesh):
+    """Build a shard_map'ped version of an MPPIPlanner's command.
+
+    planner_mppi: mppiisaac_tpu.mppi.solver.MPPIPlanner. Returns a function
+    (carry, state0_K) -> (action, carry, info) where state0_K's leading K axis
+    is sharded over mesh axis "k". The solver's K must divide the mesh size.
+    """
+    n = mesh.devices.size
+    cfg = planner_mppi.cfg
+    K = cfg.num_samples
+    assert K % n == 0, (K, n)
+
+    # per-shard solver with K/n samples: reuse the same machinery, but
+    # replace the global softmax with psum-based collectives.
+    import copy
+
+    shard_cfg = copy.copy(cfg)
+    shard_cfg.num_samples = K // n
+    from ..mppi.solver import MPPIPlanner
+
+    local = MPPIPlanner(
+        shard_cfg,
+        planner_mppi.nx,
+        dynamics=planner_mppi.dynamics,
+        running_cost=planner_mppi.running_cost,
+        prior=planner_mppi.prior,
+        vis_fn=planner_mppi.vis_fn,
+    )
+    # global softmax: β/η/Σwε reductions inside _command_impl become psums
+    local.axis_name = "k"
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P("k")),
+        out_specs=(P(), P(), P("k")),
+    )
+    def cmd(carry, state0):
+        shard_id = jax.lax.axis_index("k")
+        carry_l = carry._replace(key=jax.random.fold_in(carry.key, shard_id))
+        action, new_carry, info = local._command_impl(carry_l, state0)
+        # all shards produce identical U/action thanks to global reductions;
+        # return shard 0's copies
+        new_carry = new_carry._replace(key=carry.key)  # keep key in sync
+        return action, new_carry, {"costs": info["costs"], "vis": info["vis"]}
+
+    def run(carry, state0_sharded):
+        action, new_carry, info = cmd(carry, state0_sharded)
+        # advance the key once globally
+        new_key, _ = jax.random.split(carry.key)
+        return action, new_carry._replace(key=new_key), info
+
+    return run

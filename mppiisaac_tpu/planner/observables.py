@@ -76,7 +76,20 @@ class SimView:
     def link_velocity(self, link: str, actor: Optional[str] = None) -> jnp.ndarray:
         return self.state.body_linvel[..., self.scene.body_index(link, actor), :]
 
-    get_actor_link_by_name = link_position
+    def link_state(self, link: str, actor: Optional[str] = None) -> jnp.ndarray:
+        """(K,13) rigid-body state of a link (the reference's
+        `get_actor_link_by_name` returns pose+vel rows)."""
+        b = self.scene.body_index(link, actor)
+        return self.state.rigid_body_state[..., b, :]
+
+    def get_actor_link_by_name(self, actor: str, link: str) -> jnp.ndarray:
+        """Reference argument order: (actor_name, link_name) → (K,13)."""
+        return self.link_state(link, actor)
+
+    def get_dof_state(self) -> jnp.ndarray:
+        """(K, 2·D) interleaved flat dof state (legacy objective surface)."""
+        ds = self.state.dof_state
+        return ds.reshape(ds.shape[:-2] + (-1,))
 
     # ---- contact forces ----
     def actor_contact_forces(self, name: str) -> jnp.ndarray:  # (K, nb_actor, 3)
@@ -86,6 +99,18 @@ class SimView:
 
     def link_contact_force(self, link: str, actor: Optional[str] = None) -> jnp.ndarray:
         return self.state.net_contact_force[..., self.scene.body_index(link, actor), :]
+
+    def get_actor_contact_forces_by_name(self, actor_name: str, link_name: str = None) -> jnp.ndarray:
+        """(K,3) net contact force. Reference passes a link name ('box' for
+        primitive actors); primitives here are single-body, so the actor's
+        root body force is returned when the link isn't found."""
+        try:
+            if link_name is not None:
+                return self.link_contact_force(link_name, actor_name)
+        except KeyError:
+            pass
+        ai = self._ai(actor_name)
+        return self.state.net_contact_force[..., self.scene.body_offset[ai], :]
 
     # ---- DOF access per actor ----
     def actor_q(self, name: str) -> jnp.ndarray:

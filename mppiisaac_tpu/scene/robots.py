@@ -358,16 +358,22 @@ def anymal() -> str:
         u.joint(f"{leg}_HFE", "revolute", f"{leg}_HIP", f"{leg}_THIGH",
                 xyz=(0, sy * 0.09, 0), axis=(0, 1, 0),
                 lower=-3.0, upper=3.0, effort=80, velocity=10, damping=1.0)
-        u.link(f"{leg}_SHANK", mass=0.9, com=(0, 0, -shank_l / 2),
+        # shank link named {leg}_KFE so its origin IS the knee position
+        # (the reference objective reads knee links by that name,
+        # `examples/anymal/planner.py:36-41`)
+        u.link(f"{leg}_KFE", mass=0.9, com=(0, 0, -shank_l / 2),
                inertia=(0.01, 0.01, 0.002),
                geoms=[("capsule", (0.03, shank_l / 2 - 0.04), (0, 0, -shank_l / 2), (0, 0, 0))])
-        u.joint(f"{leg}_KFE", "revolute", f"{leg}_THIGH", f"{leg}_SHANK",
+        u.joint(f"{leg}_KFE_joint", "revolute", f"{leg}_THIGH", f"{leg}_KFE",
                 xyz=(0, 0, -thigh_l), axis=(0, 1, 0),
                 lower=-3.0, upper=3.0, effort=80, velocity=10, damping=1.0)
         u.link(f"{leg}_FOOT", mass=0.1,
                geoms=[("sphere", (0.035,), (0, 0, 0), (0, 0, 0))])
-        u.joint(f"{leg}_foot_joint", "fixed", f"{leg}_SHANK", f"{leg}_FOOT",
+        u.joint(f"{leg}_foot_joint", "fixed", f"{leg}_KFE", f"{leg}_FOOT",
                 xyz=(0, 0, -shank_l))
+    for face, fx in (("face_front", 0.4), ("face_rear", -0.4)):
+        u.link(face, mass=0.01)
+        u.joint(f"{face}_joint", "fixed", "base", face, xyz=(fx, 0, 0))
     return u.xml()
 
 

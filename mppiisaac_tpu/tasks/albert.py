@@ -1,0 +1,40 @@
+"""albert — whole-body mobile manipulation: diff-drive base + 7-DOF arm drives
+its EE to a goal (reference `examples/albert/planner.py:21-39`): EE-to-goal +
+upright term."""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..planner.objective import Objective
+from ..planner.observables import SimView
+from .common import ee_upright_cost, norm
+
+
+class AlbertObjective(Objective):
+    def __init__(self, cfg=None):
+        self.weights = {"robot_to_goal": 1.0, "robot_ori": 0.3}
+
+    def compute_cost(self, view: SimView) -> jnp.ndarray:
+        r = view.link_state("mmrobot_link7", "albert")
+        goal = view.actor_position("goal")
+        return self.weights["robot_to_goal"] * norm(r[..., 0:3] - goal) + self.weights[
+            "robot_ori"
+        ] * ee_upright_cost(r[..., 3:7])
+
+
+def run(overrides=None, **kw):
+    from ..utils.config_store import load_config
+    from ..runtime.loop import run_task
+
+    cfg = load_config("tasks/albert", overrides)
+    obj = AlbertObjective(cfg)
+
+    def success(world):
+        import numpy as np
+
+        v = world.view
+        ee = np.asarray(v.link_position("mmrobot_link7", "albert"))[0]
+        goal = np.asarray(v.actor_position("goal"))[0]
+        return float(np.linalg.norm(ee - goal)) < 0.15
+
+    return run_task(cfg, obj, success_fn=success, **kw)

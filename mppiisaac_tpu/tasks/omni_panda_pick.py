@@ -1,0 +1,75 @@
+"""omni_panda_pick — 12-DOF holonomic-base Franka, effort mode, picks a block
+(reference `examples/omni_panda_pick/planner.py:31-89`): 9 cost terms incl.
+comfy arm/gripper pose, base/arm velocity penalties, EE height floor."""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..planner.objective import Objective
+from ..planner.observables import SimView
+from .common import contact_force_mag, ee_upright_cost, norm
+
+
+class OmniPandaPickObjective(Objective):
+    def __init__(self, cfg=None):
+        self.weights = {
+            "robot_to_block": 10.0,
+            "block_to_goal": 10.0,
+            "collision": 2.0,
+            "robot_ori": 1.0,
+            "base_vel": 0.05,
+            "arm_vel": 0.05,
+            "comfy_arm_pose": 0.2,
+            "comfy_gripper_state": 1.0,
+            "height_cost": 20.0,
+        }
+        self.comfy_arm_pose = jnp.asarray(
+            [0.0, -0.94, 0.0, -2.8, 0.0, 1.8675, 0.0], jnp.float32
+        )
+        self.comfy_gripper_state = jnp.asarray([0.04, 0.04], jnp.float32)
+
+    def reset(self):
+        pass
+
+    def compute_cost(self, view: SimView) -> jnp.ndarray:
+        r = view.link_state("panda_hand", "omnipanda")
+        block = view.actor_position("block")
+        goal = view.actor_position("goal")
+        q = view.actor_q("omnipanda")
+        qd = view.actor_qd("omnipanda")
+
+        base_vel = qd[..., 0:3]
+        arm_vel = qd[..., 3:10]
+        arm_pos = q[..., 3:10]
+        gripper = q[..., -2:]
+
+        w = self.weights
+        return (
+            w["robot_to_block"] * norm(r[..., 0:3] - block)
+            + w["block_to_goal"] * norm(block - goal)
+            + w["collision"] * contact_force_mag(view, "table")
+            + w["robot_ori"] * ee_upright_cost(r[..., 3:7])
+            + w["base_vel"] * jnp.sum(base_vel**2, axis=-1)
+            + w["arm_vel"] * jnp.sum(arm_vel**2, axis=-1)
+            + w["comfy_arm_pose"] * jnp.sum((arm_pos - self.comfy_arm_pose) ** 2, axis=-1)
+            + w["comfy_gripper_state"] * jnp.sum((gripper - self.comfy_gripper_state) ** 2, axis=-1)
+            + w["height_cost"] * jnp.maximum(0.12 - r[..., 2], 0.0)
+        )
+
+
+def run(overrides=None, **kw):
+    from ..utils.config_store import load_config
+    from ..runtime.loop import run_task
+
+    cfg = load_config("tasks/omni_panda_pick", overrides)
+    obj = OmniPandaPickObjective(cfg)
+
+    def success(world):
+        import numpy as np
+
+        v = world.view
+        block = np.asarray(v.actor_position("block"))[0]
+        goal = np.asarray(v.actor_position("goal"))[0]
+        return float(np.linalg.norm(block - goal)) < 0.2
+
+    return run_task(cfg, obj, success_fn=success, **kw)
