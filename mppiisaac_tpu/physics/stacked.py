@@ -1,0 +1,546 @@
+"""Stacked whole-scene dynamics — the TPU-first formulation.
+
+The naive engine (kinematics.py/dynamics.py) unrolls Python loops over links,
+emitting O(links) small XLA ops per substep; correct, and kept for unit
+tests, but compile time and VPU utilisation suffer on big scenes. This module
+restates the SAME math as a fixed sequence of batched array ops whose count is
+independent of scene size:
+
+* All actors' bodies live in ONE global array (B bodies, NV generalized
+  velocity coordinates = 6 per floating base + joint DOFs).
+* FK: per-body local joint transforms (vectorized) composed up the tree by
+  **pointer doubling** — ⌈log2(depth)⌉ gather+compose passes instead of a
+  per-link chain.
+* Velocities: body Plücker velocities are ONE (B,NV)×(NV,6) mask-matmul of the
+  motion subspaces against generalized velocities.
+* CRBA: composite inertias are ONE (NV,B)×(B,36) matmul; per-actor mass-matrix
+  blocks are gathered into a padded (A_dyn, nv_max, 6) tensor and contracted
+  with a single batched matmul (MXU) + static ancestry mask.
+* Bias (RNEA, qdd=0): acceleration propagation is the same ancestor-mask
+  matmul applied to per-dof velocity-product terms.
+* One padded batched linear solve integrates every dynamic actor at once.
+
+Under vmap over K samples, every op here is (K, ·)-batched and the two big
+contractions hit the MXU. This is the engine behind `Engine.step`.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .math3d import quat_from_axis_angle, quat_integrate, quat_mul, quat_normalize, quat_rotate, quat_to_matrix
+from .model import (
+    DRIVE_EFFORT,
+    DRIVE_POSITION,
+    DRIVE_VELOCITY,
+    JOINT_PRISMATIC,
+    JOINT_REVOLUTE,
+)
+from .scene_model import SceneModel
+from .types import ModelParams, SimState
+
+_F32 = np.float32
+
+
+@dataclass
+class StackedModel:
+    scene: SceneModel
+    # global body arrays (B,)
+    B: int
+    NV: int                     # total generalized velocity coords
+    D: int                      # actuated joint dofs (== scene.ndof)
+    parent: np.ndarray          # (B,) -1 for actor roots
+    body_actor: np.ndarray      # (B,)
+    jtype: np.ndarray           # (B,)
+    jpos: np.ndarray            # (B,3)
+    jquat: np.ndarray           # (B,4)
+    jaxis: np.ndarray           # (B,3)
+    body_jdof: np.ndarray       # (B,) actuated dof id in [0,D) or -1
+    mass: np.ndarray            # (B,)
+    com: np.ndarray             # (B,3)
+    inertia: np.ndarray         # (B,3,3)
+    grav_mask: np.ndarray       # (B,) 1.0 unless actor disables gravity or is static
+    depth_passes: int
+    # generalized-coordinate maps
+    dofc_body: np.ndarray       # (NV,) body owning each velocity coordinate
+    dofc_is_joint: np.ndarray   # (NV,) bool
+    dofc_jdof: np.ndarray       # (NV,) actuated dof id or -1
+    jd_coord: np.ndarray        # (D,) coordinate index of each actuated dof
+    base_S: np.ndarray          # (NV,6) constant rows for base coords (identity), 0 for joint rows
+    # masks
+    anc_dof: np.ndarray         # (B,NV) float: coord j ancestor-or-self of body b
+    subtree: np.ndarray         # (NV,B) float: body in subtree of coord j's joint
+    # dynamic-actor padded solve tables
+    A_dyn: int
+    nv_max: int
+    act_coords: np.ndarray      # (A_dyn, nv_max) indices into NV, padded with NV
+    act_pad: np.ndarray         # (A_dyn, nv_max) 1.0 where real coord
+    act_anc: np.ndarray         # (A_dyn, nv_max, nv_max) ancestry mask for CRBA
+    act_actor: np.ndarray       # (A_dyn,) actor index
+    act_floating: np.ndarray    # (A_dyn,) bool
+    # actuated-dof parameter arrays (D,)
+    dof_lower: np.ndarray
+    dof_upper: np.ndarray
+    dof_effort: np.ndarray
+    dof_maxvel: np.ndarray
+    dof_damping: np.ndarray
+    dof_friction: np.ndarray
+    dof_armature: np.ndarray
+    drive_mode: np.ndarray
+    drive_kp: np.ndarray
+    drive_kd: np.ndarray
+
+
+def build_stacked(scene: SceneModel) -> StackedModel:
+    B = scene.nbody
+    D = scene.ndof
+    parent = np.full(B, -1, np.int32)
+    jtype = np.zeros(B, np.int32)
+    jpos = np.zeros((B, 3))
+    jquat = np.tile([0.0, 0, 0, 1.0], (B, 1))
+    jaxis = np.tile([1.0, 0, 0], (B, 1))
+    body_jdof = np.full(B, -1, np.int32)
+    mass = np.zeros(B)
+    com = np.zeros((B, 3))
+    inertia = np.zeros((B, 3, 3))
+    grav_mask = np.ones(B)
+
+    coords: List[tuple] = []   # (body, kind, jdof)  kind: 0..5 base, 6 joint
+    act_rows = []              # per dynamic actor: list of coord ids
+
+    for ai, art in enumerate(scene.actors):
+        bo = scene.body_offset[ai]
+        do = scene.dof_offset[ai]
+        static = art.fixed_base and art.ndof == 0
+        for i in range(art.nbody):
+            g = bo + i
+            parent[g] = bo + art.parent[i] if art.parent[i] >= 0 else -1
+            jtype[g] = art.jtype[i]
+            jpos[g] = art.jpos[i]
+            jquat[g] = art.jquat[i]
+            jaxis[g] = art.jaxis[i]
+            if art.dof_index[i] >= 0:
+                body_jdof[g] = do + art.dof_index[i]
+            mass[g] = art.mass[i]
+            com[g] = art.com[i]
+            inertia[g] = art.inertia[i]
+            if art.disable_gravity or static:
+                grav_mask[g] = 0.0
+        row = []
+        if not art.fixed_base:
+            for k in range(6):
+                row.append(len(coords))
+                coords.append((bo, k, -1))
+        # joint coords in dof order
+        order = np.argsort(art.dof_index[art.dof_index >= 0])
+        bodies_with_dof = [i for i in range(art.nbody) if art.dof_index[i] >= 0]
+        bodies_sorted = sorted(bodies_with_dof, key=lambda i: art.dof_index[i])
+        for i in bodies_sorted:
+            row.append(len(coords))
+            coords.append((bo + i, 6, do + art.dof_index[i]))
+        if row:
+            act_rows.append((ai, row, not art.fixed_base))
+
+    NV = len(coords)
+    dofc_body = np.array([c[0] for c in coords], np.int32) if NV else np.zeros(0, np.int32)
+    dofc_kind = np.array([c[1] for c in coords], np.int32) if NV else np.zeros(0, np.int32)
+    dofc_jdof = np.array([c[2] for c in coords], np.int32) if NV else np.zeros(0, np.int32)
+    dofc_is_joint = dofc_kind == 6
+    jd_coord = np.zeros(D, np.int32)
+    for j, c in enumerate(coords):
+        if c[2] >= 0:
+            jd_coord[c[2]] = j
+    base_S = np.zeros((NV, 6))
+    for j in range(NV):
+        if dofc_kind[j] < 6:
+            base_S[j, dofc_kind[j]] = 1.0
+
+    # body ancestry within actors
+    anc_body = np.zeros((B, B), bool)
+    for b in range(B):
+        x = b
+        while x >= 0:
+            anc_body[b, x] = True   # x is ancestor-or-self of b
+            x = parent[x]
+    anc_dof = np.zeros((B, NV), _F32)
+    subtree = np.zeros((NV, B), _F32)
+    for j in range(NV):
+        jb = dofc_body[j]
+        same_actor = scene.body_actor == scene.body_actor[jb]
+        desc = anc_body[:, jb] & same_actor      # bodies having jb as ancestor
+        anc_dof[desc, j] = 1.0
+        subtree[j, desc] = 1.0
+
+    # depth for pointer doubling
+    depth = np.zeros(B, np.int64)
+    for b in range(B):
+        x, d = b, 0
+        while parent[x] >= 0:
+            x = parent[x]
+            d += 1
+        depth[b] = d
+    max_depth = int(depth.max()) if B else 0
+    passes = max(1, int(np.ceil(np.log2(max_depth + 1)))) if max_depth > 0 else 0
+
+    # padded per-actor solve tables
+    dyn = act_rows
+    A_dyn = len(dyn)
+    nv_max = max((len(r[1]) for r in dyn), default=1)
+    act_coords = np.full((A_dyn, nv_max), NV, np.int32)
+    act_pad = np.zeros((A_dyn, nv_max), _F32)
+    act_anc = np.zeros((A_dyn, nv_max, nv_max), _F32)
+    act_actor = np.zeros(A_dyn, np.int32)
+    act_floating = np.zeros(A_dyn, bool)
+    for r, (ai, row, floating) in enumerate(dyn):
+        n = len(row)
+        act_coords[r, :n] = row
+        act_pad[r, :n] = 1.0
+        act_actor[r] = ai
+        act_floating[r] = floating
+        for x in range(n):
+            for y in range(n):
+                jx, jy = row[x], row[y]
+                bx, by = dofc_body[jx], dofc_body[jy]
+                if anc_body[by, bx]:          # bx ancestor-or-self of by
+                    if bx != by:
+                        act_anc[r, x, y] = 1.0
+                    else:
+                        act_anc[r, x, y] = 1.0 if x <= y else 0.0
+
+    # actuated dof params stacked across actors
+    def cat(field):
+        vals = [getattr(a, field) for a in scene.actors]
+        return np.concatenate(vals) if vals else np.zeros(0)
+
+    return StackedModel(
+        scene=scene,
+        B=B, NV=NV, D=D,
+        parent=parent,
+        body_actor=np.asarray(scene.body_actor, np.int32),
+        jtype=jtype, jpos=jpos, jquat=jquat, jaxis=jaxis,
+        body_jdof=body_jdof,
+        mass=mass, com=com, inertia=inertia, grav_mask=grav_mask,
+        depth_passes=passes,
+        dofc_body=dofc_body, dofc_is_joint=dofc_is_joint, dofc_jdof=dofc_jdof,
+        jd_coord=jd_coord, base_S=base_S,
+        anc_dof=anc_dof, subtree=subtree,
+        A_dyn=A_dyn, nv_max=nv_max,
+        act_coords=act_coords, act_pad=act_pad, act_anc=act_anc,
+        act_actor=act_actor, act_floating=act_floating,
+        dof_lower=cat("dof_lower"), dof_upper=cat("dof_upper"),
+        dof_effort=cat("dof_effort"), dof_maxvel=cat("dof_maxvel"),
+        dof_damping=cat("dof_damping"), dof_friction=cat("dof_friction"),
+        dof_armature=cat("dof_armature"),
+        drive_mode=cat("drive_mode").astype(np.int32),
+        drive_kp=cat("drive_kp"), drive_kd=cat("drive_kd"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# FK: vectorized local transforms + pointer-doubling composition
+# ---------------------------------------------------------------------------
+
+def fk_stacked(m: StackedModel, root_pos, root_quat, q):
+    """→ (body_pos (B,3), body_quat (B,4), axis_w (B,3))."""
+    dt_ = jnp.float32
+    B = m.B
+    jq = jnp.asarray(m.jquat, dt_)
+    jp = jnp.asarray(m.jpos, dt_)
+    ax = jnp.asarray(m.jaxis, dt_)
+    jdof = jnp.asarray(m.body_jdof)
+    if m.D:
+        qb = jnp.where(jdof >= 0, q[jnp.clip(jdof, 0, None)], 0.0)
+    else:
+        qb = jnp.zeros(B, dt_)
+
+    is_rev = jnp.asarray(m.jtype == JOINT_REVOLUTE)
+    is_prism = jnp.asarray(m.jtype == JOINT_PRISMATIC)
+    rotq = quat_from_axis_angle(ax, jnp.where(is_rev, qb, 0.0))
+    L_quat = quat_mul(jq, rotq)
+    L_pos = jp + jnp.where(
+        is_prism[:, None], quat_rotate(jq, ax * qb[:, None]), 0.0
+    )
+    # roots: local transform IS the world root pose
+    is_root = jnp.asarray(m.parent < 0)
+    ba = jnp.asarray(m.body_actor)
+    L_pos = jnp.where(is_root[:, None], root_pos[ba], L_pos)
+    L_quat = jnp.where(is_root[:, None], root_quat[ba], L_quat)
+
+    # pointer doubling with a virtual identity node at index B
+    T_pos = jnp.concatenate([L_pos, jnp.zeros((1, 3), dt_)])
+    T_quat = jnp.concatenate([L_quat, jnp.asarray([[0, 0, 0, 1]], dt_)])
+    P = jnp.asarray(np.where(m.parent < 0, B, m.parent), jnp.int32)
+    P = jnp.concatenate([P, jnp.asarray([B], jnp.int32)])
+    for _ in range(m.depth_passes):
+        pp = T_pos[P]
+        pq = T_quat[P]
+        T_pos = pp + quat_rotate(pq, T_pos)
+        T_quat = quat_mul(pq, T_quat)
+        P = P[P]
+    body_pos = T_pos[:B]
+    body_quat = quat_normalize(T_quat[:B])
+    axis_w = quat_rotate(body_quat, ax)
+    return body_pos, body_quat, axis_w
+
+
+# ---------------------------------------------------------------------------
+# dynamics pieces
+# ---------------------------------------------------------------------------
+
+def _skew(v):
+    x, y, z = v[..., 0], v[..., 1], v[..., 2]
+    zero = jnp.zeros_like(x)
+    return jnp.stack(
+        [
+            jnp.stack([zero, -z, y], -1),
+            jnp.stack([z, zero, -x], -1),
+            jnp.stack([-y, x, zero], -1),
+        ],
+        -2,
+    )
+
+
+def _crm(v, w):
+    a, b = v[..., :3], v[..., 3:]
+    c, d = w[..., :3], w[..., 3:]
+    return jnp.concatenate([jnp.cross(a, c), jnp.cross(a, d) + jnp.cross(b, c)], -1)
+
+
+def _crf(v, f):
+    a, b = v[..., :3], v[..., 3:]
+    n, ff = f[..., :3], f[..., 3:]
+    return jnp.concatenate([jnp.cross(a, n) + jnp.cross(b, ff), jnp.cross(a, ff)], -1)
+
+
+def motion_subspace_stacked(m: StackedModel, body_pos, axis_w):
+    """(NV,6) world-frame Plücker motion subspaces."""
+    dt_ = body_pos.dtype
+    a = axis_w[jnp.asarray(m.dofc_body)]
+    p = body_pos[jnp.asarray(m.dofc_body)]
+    is_rev = jnp.asarray(
+        (m.jtype[m.dofc_body] == JOINT_REVOLUTE) & m.dofc_is_joint
+    )
+    is_prism = jnp.asarray(
+        (m.jtype[m.dofc_body] == JOINT_PRISMATIC) & m.dofc_is_joint
+    )
+    S_rev = jnp.concatenate([a, jnp.cross(p, a)], -1)
+    S_prism = jnp.concatenate([jnp.zeros_like(a), a], -1)
+    S = jnp.asarray(m.base_S, dt_)
+    S = jnp.where(is_rev[:, None], S_rev, S)
+    S = jnp.where(is_prism[:, None], S_prism, S)
+    return S
+
+
+def generalized_velocities(m: StackedModel, state: SimState):
+    """u (NV,) from root velocities (converted to Plücker) + qd."""
+    dt_ = state.root_pos.dtype
+    w = state.root_angvel
+    v_o = state.root_linvel - jnp.cross(w, state.root_pos)   # Plücker linear
+    base6 = jnp.concatenate([w, v_o], -1)                     # (A,6)
+    u = jnp.zeros(m.NV, dt_)
+    kind = np.zeros(m.NV, np.int32)
+    # base coords: pull component k of base6[actor]
+    dofc_body = m.dofc_body
+    base_rows = ~m.dofc_is_joint
+    if base_rows.any():
+        rows = np.where(base_rows)[0]
+        actors = m.body_actor[dofc_body[rows]]
+        comps = np.argmax(m.base_S[rows], axis=1)
+        u = u.at[jnp.asarray(rows)].set(base6[jnp.asarray(actors), jnp.asarray(comps)])
+    jrows = np.where(m.dofc_is_joint)[0]
+    if len(jrows):
+        u = u.at[jnp.asarray(jrows)].set(state.qd[jnp.asarray(m.dofc_jdof[jrows])])
+    return u
+
+
+def spatial_inertias(m: StackedModel, body_pos, body_quat, mass_scale):
+    dt_ = body_pos.dtype
+    mass = jnp.asarray(m.mass, dt_) * mass_scale
+    R = quat_to_matrix(body_quat)
+    I_com = jnp.asarray(m.inertia, dt_) * mass_scale[:, None, None]
+    c = body_pos + jnp.einsum("bij,bj->bi", R, jnp.asarray(m.com, dt_))
+    Iw_rot = jnp.einsum("bij,bjk,blk->bil", R, I_com, R)
+    C = _skew(c)
+    mC = mass[:, None, None] * C
+    top = jnp.concatenate([Iw_rot + jnp.einsum("bij,bkj->bik", mC, C), mC], -1)
+    bot = jnp.concatenate(
+        [jnp.swapaxes(mC, -1, -2), mass[:, None, None] * jnp.eye(3, dtype=dt_)], -1
+    )
+    return jnp.concatenate([top, bot], -2)   # (B,6,6)
+
+
+def drive_terms_stacked(m: StackedModel, q, qd, dof_target, dt):
+    dt_ = q.dtype
+    mode = jnp.asarray(m.drive_mode)
+    kp = jnp.asarray(m.drive_kp, dt_)
+    kd = jnp.asarray(m.drive_kd, dt_)
+    effort = jnp.asarray(m.dof_effort, dt_)
+
+    vel_raw = kd * (dof_target - qd)
+    vel_sat = jnp.abs(vel_raw) > effort
+    vel_tau = jnp.where(vel_sat, jnp.sign(vel_raw) * effort, kd * dof_target)
+    vel_d = jnp.where(vel_sat, 0.0, kd)
+
+    pos_tau = jnp.clip(kp * (dof_target - q), -effort, effort)
+    pos_d = kp * dt + kd
+
+    eff_tau = jnp.clip(dof_target, -effort, effort)
+
+    tau = jnp.where(
+        mode == DRIVE_VELOCITY, vel_tau,
+        jnp.where(mode == DRIVE_POSITION, pos_tau,
+                  jnp.where(mode == DRIVE_EFFORT, eff_tau, 0.0)),
+    )
+    d_imp = jnp.where(
+        mode == DRIVE_VELOCITY, vel_d,
+        jnp.where(mode == DRIVE_POSITION, pos_d,
+                  jnp.where(mode == DRIVE_EFFORT, kd, 0.0)),
+    )
+    d_imp = d_imp + jnp.asarray(m.dof_damping, dt_)
+    tau = tau - jnp.asarray(m.dof_friction, dt_) * jnp.tanh(qd / 0.02)
+    # joint limits
+    lo = jnp.asarray(m.dof_lower, dt_)
+    hi = jnp.asarray(m.dof_upper, dt_)
+    below = jnp.maximum(lo - q, 0.0)
+    above = jnp.maximum(q - hi, 0.0)
+    viol = (below > 0) | (above > 0)
+    tau = tau + 1.0e3 * (below - above) - jnp.where(viol, 1.0e2 * qd, 0.0)
+    return tau, d_imp
+
+
+def stacked_substep(
+    m: StackedModel,
+    state: SimState,
+    params: ModelParams,
+    dt: float,
+    contact_fn,
+):
+    """One semi-implicit substep for the whole scene. contact_fn(body_pos,
+    body_quat, body_linvel, body_angvel, geom_friction) → (f_ext (B,6), net_cf)."""
+    dt_ = jnp.float32
+    scene = m.scene
+    body_pos, body_quat, axis_w = fk_stacked(m, state.root_pos, state.root_quat, state.q)
+    S = motion_subspace_stacked(m, body_pos, axis_w)
+    u = generalized_velocities(m, state)
+
+    anc = jnp.asarray(m.anc_dof, dt_)
+    v_b = anc @ (S * u[:, None])                      # (B,6) Plücker
+    w_b = v_b[:, :3]
+    lin_b = v_b[:, 3:] + jnp.cross(w_b, body_pos)
+
+    f_ext, net_cf = contact_fn(body_pos, body_quat, lin_b, w_b, params.geom_friction)
+
+    Iw = spatial_inertias(m, body_pos, body_quat, params.body_mass_scale)
+
+    # bias: a = grav_freefall + anc @ crm(v_body(j), S_j u_j)
+    g = jnp.asarray(scene.gravity, dt_)
+    a0 = jnp.concatenate([jnp.zeros(3, dt_), -g])
+    vj = v_b[jnp.asarray(m.dofc_body)]                # (NV,6)
+    cterm = _crm(vj, S * u[:, None])                  # (NV,6)
+    a_b = jnp.asarray(m.grav_mask, dt_)[:, None] * a0[None, :] + anc @ cterm
+    Iv = jnp.einsum("bij,bj->bi", Iw, v_b)
+    f_net = jnp.einsum("bij,bj->bi", Iw, a_b) + _crf(v_b, Iv) - f_ext
+    sub = jnp.asarray(m.subtree, dt_)
+    C = jnp.einsum("vi,vi->v", S, sub @ f_net)        # (NV,)
+
+    # composite inertias at dof bodies → F = Ic S
+    Ic = jnp.einsum("vb,bij->vij", sub, Iw)           # (NV,6,6)
+    F = jnp.einsum("vij,vj->vi", Ic, S)               # (NV,6)
+
+    # drives on actuated dofs, scattered to coords
+    tau_j, d_imp_j = drive_terms_stacked(
+        m, state.q, state.qd, state.dof_target, dt
+    )
+    tau = jnp.zeros(m.NV, dt_)
+    d_imp = jnp.zeros(m.NV, dt_)
+    jc = jnp.asarray(m.jd_coord)
+    if m.D:
+        tau = tau.at[jc].set(tau_j)
+        d_imp = d_imp.at[jc].set(d_imp_j + jnp.asarray(m.dof_armature, dt_))
+
+    # per-actor padded blocks
+    Sz = jnp.concatenate([S, jnp.zeros((1, 6), dt_)])
+    Fz = jnp.concatenate([F, jnp.zeros((1, 6), dt_)])
+    uz = jnp.concatenate([u, jnp.zeros(1, dt_)])
+    tz = jnp.concatenate([tau, jnp.zeros(1, dt_)])
+    Cz = jnp.concatenate([C, jnp.zeros(1, dt_)])
+    dz = jnp.concatenate([d_imp, jnp.zeros(1, dt_)])
+    ac = jnp.asarray(m.act_coords)                    # (A,nv)
+    Sa = Sz[ac]                                       # (A,nv,6)
+    Fa = Fz[ac]
+    Mfull = jnp.einsum("ani,ami->anm", Sa, Fa)        # (A,nv,nv): S_x · F_y
+    mask = jnp.asarray(m.act_anc, dt_)
+    eye = jnp.eye(m.nv_max, dtype=dt_)
+    Mm = Mfull * mask                                  # ancestor(-or-self) half
+    M0 = Mm + jnp.swapaxes(Mm, -1, -2) - Mm * eye      # symmetric mass matrix
+    pad = jnp.asarray(m.act_pad, dt_)
+
+    ua = uz[ac] * pad
+    rhs = jnp.einsum("anm,am->an", M0, ua) + dt * (tz[ac] - Cz[ac]) * pad
+    # implicit drive damping + padding identity on the solve matrix only
+    M = M0 + eye[None] * (dt * dz[ac] + (1.0 - pad) + 1e-8)[..., None, :]
+    u_new_a = jnp.linalg.solve(M, rhs[..., None])[..., 0] * pad   # (A,nv)
+
+    # scatter back to (NV,)
+    u_new = jnp.zeros(m.NV + 1, dt_).at[ac.reshape(-1)].set(u_new_a.reshape(-1))[: m.NV]
+
+    # integrate joints
+    q = state.q
+    qd = state.qd
+    if m.D:
+        qd_new = u_new[jc]
+        maxvel = jnp.asarray(m.dof_maxvel, dt_)
+        qd_new = jnp.clip(qd_new, -maxvel, maxvel)
+        q_new = q + dt * qd_new
+        q_new = jnp.clip(
+            q_new,
+            jnp.asarray(m.dof_lower, dt_) - 1e-3,
+            jnp.asarray(m.dof_upper, dt_) + 1e-3,
+        )
+    else:
+        q_new, qd_new = q, qd
+
+    # integrate floating roots
+    root_pos = state.root_pos
+    root_quat = state.root_quat
+    root_linvel = state.root_linvel
+    root_angvel = state.root_angvel
+    floats = [r for r in range(m.A_dyn) if m.act_floating[r]]
+    if floats:
+        fr = np.asarray(floats)
+        ai = jnp.asarray(m.act_actor[fr])
+        base6 = u_new_a[jnp.asarray(fr), :6]          # (nf,6) [ω, v_O]
+        w_new = base6[:, :3]
+        v_o = base6[:, 3:]
+        p_r = root_pos[ai]
+        v_r = v_o + jnp.cross(w_new, p_r)
+        root_pos = root_pos.at[ai].set(p_r + dt * v_r)
+        root_quat = root_quat.at[ai].set(quat_integrate(root_quat[ai], w_new, dt))
+        root_linvel = root_linvel.at[ai].set(v_r)
+        root_angvel = root_angvel.at[ai].set(w_new)
+
+    return state._replace(
+        root_pos=root_pos,
+        root_quat=root_quat,
+        root_linvel=root_linvel,
+        root_angvel=root_angvel,
+        q=q_new,
+        qd=qd_new,
+        net_contact_force=net_cf,
+    )
+
+
+def refresh_stacked(m: StackedModel, state: SimState) -> SimState:
+    body_pos, body_quat, axis_w = fk_stacked(m, state.root_pos, state.root_quat, state.q)
+    S = motion_subspace_stacked(m, body_pos, axis_w)
+    u = generalized_velocities(m, state)
+    v_b = jnp.asarray(m.anc_dof, jnp.float32) @ (S * u[:, None])
+    w_b = v_b[:, :3]
+    lin_b = v_b[:, 3:] + jnp.cross(w_b, body_pos)
+    return state._replace(
+        body_pos=body_pos, body_quat=body_quat, body_linvel=lin_b, body_angvel=w_b
+    )
