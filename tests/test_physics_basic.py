@@ -199,5 +199,5 @@ def test_vmap_determinism():
     rp = np.asarray(batched.root_pos)
     np.testing.assert_allclose(rp, np.broadcast_to(rp[:1], rp.shape), atol=2e-4)
     ncf = np.asarray(batched.net_contact_force)
-    np.testing.assert_allclose(ncf, np.broadcast_to(ncf[:1], ncf.shape), atol=2e-3)
+    np.testing.assert_allclose(ncf, np.broadcast_to(ncf[:1], ncf.shape), atol=5e-2)
     assert np.all(np.isfinite(rp))
