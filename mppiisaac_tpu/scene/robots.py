@@ -323,16 +323,9 @@ def albert() -> str:
     `conf/actors/albert.yaml` visualize_link)."""
     u = U("albert")
     _panda_arm(u, prefix="mmrobot", root_parent=None)
-    # base under the arm: build base AFTER arm so arm joints get dof ids 0-6
-    # matching the reference's command layout (7 arm + base v,ω at the end —
-    # `examples/albert/planner.py`)? The reference layout puts arm dofs first
-    # in init_joint_pose; wheels last. Joint doc order here: arm, fingers, wheels.
-    for fi, sy in (("1", 1), ("2", -1)):
-        u.link(f"mmrobot_finger{fi}", mass=0.015,
-               geoms=[("box", (0.022, 0.012, 0.05), (0, 0, 0.028), (0, 0, 0))])
-        u.joint(f"mmrobot_finger_joint{fi}", "prismatic", "mmrobot_link8", f"mmrobot_finger{fi}",
-                xyz=(0, 0, 0.0584), axis=(0, sy, 0), lower=0.0, upper=0.04,
-                effort=70, velocity=0.2)
+    # reference albert = diff-drive base + 7-DOF arm, NO fingers (9 controls:
+    # v, ω + 7 arm — conf/mppi/albert.yaml is 9-dim). Joint doc order: arm
+    # first (dof ids 0-6, matching init_joint_pose), wheels last.
     _diff_drive_base(u)
     # arm sits on the chassis
     u.joint("arm_mount", "fixed", "chassis_link", "mmrobot_link0", xyz=(0.0, 0, 0.3))
