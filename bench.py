@@ -1,0 +1,77 @@
+"""Benchmark: MPPI control rate + rollout throughput on the flagship workload.
+
+North star (BASELINE.json): panda_pick at K=1000 samples, H=30 horizon on one
+TPU v5e chip; reference implied sustained throughput is 300k env-steps/s
+(25 Hz × K·H=12,000 — BASELINE.md). Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+plus auxiliary metrics on stderr.
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+K = 1000
+H = 30
+WARMUP = 3
+ITERS = 20
+REF_ENV_STEPS_PER_SEC = 300_000.0   # reference implied sustained (BASELINE.md)
+
+
+def main():
+    import jax
+
+    from mppiisaac_tpu.planner.mppi_isaac import MPPIisaacPlanner
+    from mppiisaac_tpu.tasks.panda_pick import PandaPickObjective
+    from mppiisaac_tpu.utils.config_store import load_config
+
+    cfg = load_config(
+        "tasks/panda_pick",
+        [f"mppi.num_samples={K}", f"mppi.horizon={H}"],
+    )
+    t0 = time.perf_counter()
+    planner = MPPIisaacPlanner(cfg, PandaPickObjective(cfg), randomize=True)
+    state0 = (planner.sim.state, planner._params_K)
+    print(f"build: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+
+    t0 = time.perf_counter()
+    for _ in range(WARMUP):
+        a = planner.mppi._command(planner.mppi.carry, state0)
+    jax.block_until_ready(a[0])
+    print(f"compile+warmup: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+
+    carry = planner.mppi.carry
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        action, carry, info = planner.mppi._command(carry, state0)
+    jax.block_until_ready(action)
+    dt = (time.perf_counter() - t0) / ITERS
+
+    control_hz = 1.0 / dt
+    substeps = planner.sim.engine.substeps
+    env_steps = K * H / dt                  # control-dt env steps per second
+    phys_steps = env_steps * substeps       # physics substeps per second
+
+    print(
+        f"control rate: {control_hz:.1f} Hz | env-steps/s: {env_steps/1e6:.2f}M "
+        f"(x{substeps} substeps → {phys_steps/1e6:.2f}M physics substeps/s) | "
+        f"per-command: {dt*1e3:.2f} ms",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "panda_pick rollout env-steps/sec/chip (K=1000, H=30)",
+                "value": round(env_steps, 0),
+                "unit": "env-steps/s",
+                "vs_baseline": round(env_steps / REF_ENV_STEPS_PER_SEC, 2),
+                "control_hz": round(control_hz, 1),
+                "substeps_per_env_step": substeps,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -35,10 +35,16 @@ class MppiCarry(NamedTuple):
 
 
 class MPPIPlanner:
-    """dynamics: (state_K, u_K (K,nu), t) -> state_K  (K-batched pytree)
-    running_cost: (state_K, t) -> (K,) costs
-    prior: optional (state_K, t) -> (nu,) command injected into one sample
-    vis_fn: optional (state_K) -> (K, d) per-step visualization payload
+    """dynamics: (state, u (nu,), t) -> state   — PER-SAMPLE pytree step
+    running_cost: (state, t) -> () cost        — per-sample
+    prior: optional (state, t) -> (nu,) command, applied to one sample
+    vis_fn: optional (state) -> (d,) per-step visualization payload
+
+    The planner vmaps the whole per-sample H-step rollout over K
+    (vmap-of-scan). This layout matters on TPU: it keeps the batch dimension
+    innermost in the loop nest, which XLA schedules ~100× better than
+    scan-of-vmapped-body on the same ops. `command(state0)` expects state0
+    K-batched on the leading axis (broadcast your world state).
     """
 
     def __init__(
@@ -157,22 +163,28 @@ class MPPIPlanner:
         )
 
         gamma = jnp.asarray(c.rollout_var_discount, jnp.float32) ** jnp.arange(H)
-
-        def scan_body(state, inp):
-            t, u_t = inp                                      # u_t (K,nu)
-            if self.prior is not None and c.use_priors:
-                pu = self.prior(state, t)                     # (nu,)
-                u_t = u_t.at[K - 2].set(jnp.clip(pu, u_min, u_max))
-            state = self.dynamics(state, u_t * c.u_scale, t)
-            cost = self.running_cost(state, t)                # (K,)
-            vis = self.vis_fn(state) if self.vis_fn is not None else jnp.zeros((K, 0))
-            return state, (cost, vis)
-
         ts = jnp.arange(H)
-        _, (costs, vis) = jax.lax.scan(
-            scan_body, state0, (ts, V.transpose(1, 0, 2))
-        )
-        costs = costs.T                                        # (K,H)
+        use_prior = self.prior is not None and c.use_priors
+        roles = jnp.zeros(K, jnp.int32)
+        if use_prior:
+            roles = roles.at[K - 2].set(1)
+
+        def rollout_one(state, V_k, role):
+            def body(st, inp):
+                t, u_t = inp                                   # u_t (nu,)
+                if use_prior:
+                    pu = jnp.clip(self.prior(st, t), u_min, u_max)
+                    u_t = jnp.where(role == 1, pu, u_t)
+                st = self.dynamics(st, u_t * c.u_scale, t)
+                cost = self.running_cost(st, t)
+                vis = self.vis_fn(st) if self.vis_fn is not None else jnp.zeros((0,))
+                return st, (cost, vis)
+
+            _, (costs_k, vis_k) = jax.lax.scan(body, state, (ts, V_k))
+            return costs_k, vis_k                              # (H,), (H,d)
+
+        costs, vis = jax.vmap(rollout_one)(state0, V, roles)   # (K,H), (K,H,d)
+        vis = jnp.swapaxes(vis, 0, 1)                          # (H,K,d)
 
         # action (control-noise) cost — MPPI information-theoretic term
         if c.noise_abs_cost:

@@ -1,24 +1,26 @@
-"""Compliant contact engine: static pair tables + vectorized narrowphase.
+"""Compliant contact engine: static candidate tables + vectorized narrowphase.
 
 Replaces PhysX's TGS contact solver (reference `isaacgym_wrapper.py:30-36`)
 with a MuJoCo-style mass-scaled penalty model that is branch-free and fully
 vectorizable: every candidate contact is computed every step with its force
-clamped to zero when separated. The pair list is STATIC (built at scene
-construction), so under ``vmap`` the whole narrowphase is a handful of
-(K, ncontact, ·) elementwise ops — no data-dependent shapes anywhere.
+clamped to zero when separated.
 
-Primitive set: plane (world z=0), sphere, capsule, box. Spheres and capsules
-share one "capsuloid" (segment + radius) code path.
+TPU-first structure: the ENTIRE candidate list (every pair × every manifold
+point) is enumerated at scene-build time into flat numpy tables — body
+indices, effective masses, friction, stiffness divisors. At runtime only
+(point, normal, depth) are computed, in fixed table order, and forces are
+accumulated onto bodies with a static one-hot matrix multiply. No runtime
+index computation anywhere: dynamic gathers/scatters are a TPU slow path.
 
 Force law per contact point (normal n from B→A, depth d > 0 penetrating):
     kn = m_eff / (τ² · n_pts),  kd = 2 ζ m_eff / (τ · n_pts)
     f_n = max(0, kn·d − kd·v_n),  f_t = −μ f_n · v_t/(‖v_t‖ + ε_v)
-with τ tied to the substep dt — stiffness auto-scales to the integrator, the
-same trick MuJoCo's solref uses, so stacks are stable at reference dt values.
+with τ tied to the substep dt (MuJoCo solref-style), so stacks are stable at
+reference dt values.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from typing import List
 
 import jax.numpy as jnp
@@ -31,30 +33,25 @@ from .urdf import GEOM_BOX, GEOM_CAPSULE, GEOM_SPHERE
 
 @dataclass
 class ContactTables:
-    """Static (numpy) narrowphase work lists, grouped by dispatch kind."""
-    # capsuloid vs plane: 2 endpoint contacts each
-    cp_geom: np.ndarray
-    cp_meff: np.ndarray
-    cp_mu: np.ndarray
-    # box vs plane: 8 corner contacts each
-    bp_geom: np.ndarray
-    bp_meff: np.ndarray
-    bp_mu: np.ndarray
-    # capsuloid vs capsuloid: 1 contact
-    cc_a: np.ndarray
+    """Static narrowphase work lists (numpy). Group fields drive the runtime
+    narrowphase; the flat per-candidate fields drive force assembly."""
+    # groups (geom indices)
+    cp_geom: np.ndarray          # capsuloid vs plane (2 endpoint contacts each)
+    bp_geom: np.ndarray          # box vs plane (8 corners each)
+    cc_a: np.ndarray             # capsuloid vs capsuloid (1 contact)
     cc_b: np.ndarray
-    cc_meff: np.ndarray
-    cc_mu: np.ndarray
-    # capsuloid vs box: 3 contacts
-    cb_cap: np.ndarray
+    cb_cap: np.ndarray           # capsuloid vs box (3 contacts)
     cb_box: np.ndarray
-    cb_meff: np.ndarray
-    cb_mu: np.ndarray
-    # box vs box: 16 corner contacts
-    bb_a: np.ndarray
+    bb_a: np.ndarray             # box vs box (16 corner contacts)
     bb_b: np.ndarray
-    bb_meff: np.ndarray
-    bb_mu: np.ndarray
+    # flat candidate tables, in the exact order the runtime concatenates
+    n_con: int = 0
+    con_geom_a: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int32))
+    con_geom_b: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int32))  # -1 = plane
+    kn_base: np.ndarray = field(default_factory=lambda: np.zeros(0))   # m_eff / n_pts
+    mu_base: np.ndarray = field(default_factory=lambda: np.zeros(0))
+    acc_a: np.ndarray = field(default_factory=lambda: np.zeros((0, 0), np.float32))  # (B, n_con) +1 one-hot
+    acc_b: np.ndarray = field(default_factory=lambda: np.zeros((0, 0), np.float32))  # (B, n_con) +1 one-hot (0 for plane)
 
 
 def _body_mass_for_contact(scene: SceneModel, gi: int) -> float:
@@ -65,8 +62,6 @@ def _body_mass_for_contact(scene: SceneModel, gi: int) -> float:
     m = float(art.mass[local])
     if art.fixed_base and art.ndof == 0:
         return np.inf
-    # links attached through joints still feel roughly their subtree mass;
-    # link mass is a fine effective-mass proxy for stiffness scaling
     return max(m, 1e-3)
 
 
@@ -82,67 +77,111 @@ def _pair_meff(scene: SceneModel, gi: int, gj: int) -> float:
 
 
 def build_contact_tables(scene: SceneModel) -> ContactTables:
-    cp_g, cp_m, cp_f = [], [], []
-    bp_g, bp_m, bp_f = [], [], []
-    cc_a, cc_b, cc_m, cc_f = [], [], [], []
-    cb_c, cb_bx, cb_m, cb_f = [], [], [], []
-    bb_a, bb_b, bb_m, bb_f = [], [], [], []
-
     gt = scene.geom_type
+    cp_g, bp_g = [], []
+    cc_a, cc_b = [], []
+    cb_c, cb_bx = [], []
+    bb_a, bb_b = [], []
+
     for gi in scene.plane_geoms:
         gi = int(gi)
-        m = _body_mass_for_contact(scene, gi)
-        if np.isinf(m):
+        if np.isinf(_body_mass_for_contact(scene, gi)):
             continue
-        mu = scene.geom_friction[gi]
-        if gt[gi] == GEOM_BOX:
-            bp_g.append(gi); bp_m.append(m); bp_f.append(mu)
-        else:
-            cp_g.append(gi); cp_m.append(m); cp_f.append(mu)
+        (bp_g if gt[gi] == GEOM_BOX else cp_g).append(gi)
 
     for gi, gj in zip(scene.pair_a, scene.pair_b):
         gi, gj = int(gi), int(gj)
-        meff = _pair_meff(scene, gi, gj)
-        mu = 0.5 * (scene.geom_friction[gi] + scene.geom_friction[gj])
-        ta, tb = gt[gi], gt[gj]
-        a_box, b_box = ta == GEOM_BOX, tb == GEOM_BOX
+        a_box, b_box = gt[gi] == GEOM_BOX, gt[gj] == GEOM_BOX
         if a_box and b_box:
-            bb_a.append(gi); bb_b.append(gj); bb_m.append(meff); bb_f.append(mu)
+            bb_a.append(gi); bb_b.append(gj)
         elif a_box:
-            cb_c.append(gj); cb_bx.append(gi); cb_m.append(meff); cb_f.append(mu)
+            cb_c.append(gj); cb_bx.append(gi)
         elif b_box:
-            cb_c.append(gi); cb_bx.append(gj); cb_m.append(meff); cb_f.append(mu)
+            cb_c.append(gi); cb_bx.append(gj)
         else:
-            cc_a.append(gi); cc_b.append(gj); cc_m.append(meff); cc_f.append(mu)
+            cc_a.append(gi); cc_b.append(gj)
 
-    def arr(x, dt=np.int32):
-        return np.asarray(x, dtype=dt)
+    # flat candidate enumeration — ORDER MUST MATCH the runtime concatenation:
+    # cp (2 endpoints, endpoint-major), bp (8 corners, corner-major),
+    # cc (1), cb (3 sample points, point-major), bb (16 corners, corner-major
+    # A-in-B then B-in-A)
+    ga_l: List[int] = []
+    gb_l: List[int] = []
+    npts_l: List[float] = []
+
+    def emit(ga, gb, npts):
+        ga_l.append(ga); gb_l.append(gb); npts_l.append(npts)
+
+    for _ in range(2):
+        for g in cp_g:
+            emit(g, -1, 2.0)
+    for _ in range(8):
+        for g in bp_g:
+            emit(g, -1, 4.0)
+    for a, b in zip(cc_a, cc_b):
+        emit(a, b, 1.0)
+    for _ in range(3):
+        for a, b in zip(cb_c, cb_bx):
+            emit(a, b, 2.0)
+    for _ in range(16):
+        for a, b in zip(bb_a, bb_b):
+            emit(a, b, 4.0)
+
+    n = len(ga_l)
+    ga_arr = np.asarray(ga_l, np.int32)
+    gb_arr = np.asarray(gb_l, np.int32)
+    npts = np.asarray(npts_l)
+    meff = np.asarray([
+        _pair_meff(scene, a, b) if b >= 0 else _body_mass_for_contact(scene, a)
+        for a, b in zip(ga_l, gb_l)
+    ])
+    mu = np.asarray([
+        0.5 * (scene.geom_friction[a] + scene.geom_friction[b]) if b >= 0
+        else scene.geom_friction[a]
+        for a, b in zip(ga_l, gb_l)
+    ])
+
+    B = scene.nbody
+    acc_a = np.zeros((B, n), np.float32)
+    acc_b = np.zeros((B, n), np.float32)
+    for c, (a, b) in enumerate(zip(ga_l, gb_l)):
+        acc_a[scene.geom_body[a], c] = 1.0
+        if b >= 0:
+            acc_b[scene.geom_body[b], c] = 1.0
+
+    def arr(x):
+        return np.asarray(x, np.int32)
 
     return ContactTables(
-        cp_geom=arr(cp_g), cp_meff=arr(cp_m, np.float64), cp_mu=arr(cp_f, np.float64),
-        bp_geom=arr(bp_g), bp_meff=arr(bp_m, np.float64), bp_mu=arr(bp_f, np.float64),
-        cc_a=arr(cc_a), cc_b=arr(cc_b), cc_meff=arr(cc_m, np.float64), cc_mu=arr(cc_f, np.float64),
-        cb_cap=arr(cb_c), cb_box=arr(cb_bx), cb_meff=arr(cb_m, np.float64), cb_mu=arr(cb_f, np.float64),
-        bb_a=arr(bb_a), bb_b=arr(bb_b), bb_meff=arr(bb_m, np.float64), bb_mu=arr(bb_f, np.float64),
+        cp_geom=arr(cp_g), bp_geom=arr(bp_g),
+        cc_a=arr(cc_a), cc_b=arr(cc_b),
+        cb_cap=arr(cb_c), cb_box=arr(cb_bx),
+        bb_a=arr(bb_a), bb_b=arr(bb_b),
+        n_con=n,
+        con_geom_a=ga_arr, con_geom_b=gb_arr,
+        kn_base=meff / npts, mu_base=mu,
+        acc_a=acc_a, acc_b=acc_b,
     )
 
 
 # ---------------------------------------------------------------------------
-# geometry helpers (all batched over leading axes)
+# geometry helpers (batched over leading axes; all indices static numpy)
 # ---------------------------------------------------------------------------
 
-def _capsuloid_segment(gtype, size, pos, quat):
-    """Segment endpoints + radius for sphere/capsule geoms. Capsule axis = local z."""
-    r = size[..., 0]
-    hl = jnp.where(gtype == GEOM_CAPSULE, size[..., 1], 0.0)
-    axis = quat_rotate(quat, jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0], pos.dtype), pos.shape))
+def _capsuloid_segment(gtype_np, size_np, pos, quat):
+    """Segment endpoints + radius for sphere/capsule geoms (static numpy
+    type/size tables, traced poses). Capsule axis = local z."""
+    r = jnp.asarray(size_np[..., 0], pos.dtype)
+    hl = jnp.asarray(
+        np.where(gtype_np == GEOM_CAPSULE, size_np[..., 1], 0.0), pos.dtype
+    )
+    axis = quat_rotate(quat, jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], pos.dtype), pos.shape))
     p0 = pos - axis * hl[..., None]
     p1 = pos + axis * hl[..., None]
     return p0, p1, r
 
 
 def _segment_closest(p0, p1, q0, q1, eps=1e-9):
-    """Closest points between segments [p0,p1] and [q0,q1]."""
     d1 = p1 - p0
     d2 = q1 - q0
     r = p0 - q0
@@ -154,28 +193,21 @@ def _segment_closest(p0, p1, q0, q1, eps=1e-9):
     denom = a * e - b * b
     s = jnp.where(denom > eps, jnp.clip((b * f - c * e) / jnp.maximum(denom, eps), 0.0, 1.0), 0.0)
     t = jnp.where(e > eps, jnp.clip((b * s + f) / jnp.maximum(e, eps), 0.0, 1.0), 0.0)
-    # re-project s for clamped t
     s = jnp.where(a > eps, jnp.clip((b * t - c) / jnp.maximum(a, eps), 0.0, 1.0), 0.0)
-    cp = p0 + d1 * s[..., None]
-    cq = q0 + d2 * t[..., None]
-    return cp, cq
+    return p0 + d1 * s[..., None], q0 + d2 * t[..., None]
 
 
 def _point_to_box(point, box_pos, box_quat, half):
-    """Closest feature between a point and an oriented box.
-
-    Returns (normal (→ away from box, world), depth (>0 if sphere-center
-    penetration measured to the surface), closest surface point world).
-    Handles both inside and outside cases branch-free.
-    """
-    # to box local frame
-    lp = quat_rotate(jnp.concatenate([-box_quat[..., :3], box_quat[..., 3:]], -1), point - box_pos)
+    """Closest feature between point and oriented box → (normal away from box,
+    center depth (+inside), surface point). Branch-free."""
+    lp = quat_rotate(
+        jnp.concatenate([-box_quat[..., :3], box_quat[..., 3:]], -1), point - box_pos
+    )
     clamped = jnp.clip(lp, -half, half)
     outside_vec = lp - clamped
     outside_dist = jnp.linalg.norm(outside_vec, axis=-1)
     is_outside = outside_dist > 1e-9
-    # inside: distance to nearest face
-    face_dist = half - jnp.abs(lp)                      # (...,3) ≥0 when inside
+    face_dist = half - jnp.abs(lp)
     min_axis = jnp.argmin(face_dist, axis=-1)
     eye = jnp.eye(3, dtype=point.dtype)
     n_inside_local = eye[min_axis] * jnp.sign(
@@ -185,20 +217,23 @@ def _point_to_box(point, box_pos, box_quat, half):
     n_outside_local = outside_vec / jnp.maximum(outside_dist, 1e-9)[..., None]
     n_local = jnp.where(is_outside[..., None], n_outside_local, n_inside_local)
     depth_center = jnp.where(is_outside, -outside_dist, d_inside)
-    surf_local = jnp.where(is_outside[..., None], clamped, lp + n_inside_local * d_inside[..., None])
-    n_world = quat_rotate(box_quat, n_local)
-    surf_world = box_pos + quat_rotate(box_quat, surf_local)
-    return n_world, depth_center, surf_world
+    surf_local = jnp.where(
+        is_outside[..., None], clamped, lp + n_inside_local * d_inside[..., None]
+    )
+    return (
+        quat_rotate(box_quat, n_local),
+        depth_center,
+        box_pos + quat_rotate(box_quat, surf_local),
+    )
 
 
 _BOX_CORNERS = np.array(
     [[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)],
-    dtype=np.float64,
+    dtype=np.float32,
 )  # (8,3)
 
 
 def _box_corners(pos, quat, half):
-    """(...,8,3) world corners."""
     corners = jnp.asarray(_BOX_CORNERS, pos.dtype) * half[..., None, :]
     return pos[..., None, :] + quat_rotate(quat[..., None, :], corners)
 
@@ -217,136 +252,104 @@ def compute_contact_forces(
     geom_friction_scale,
     dt_sub: float,
 ):
-    """All contact forces for one env.
-
-    Returns (f_ext (nbody,6) Plücker world forces, net_cf (nbody,3)).
-    geom_friction_scale: (ngeom,) per-env domain-randomization multiplier.
-    """
+    """All contact forces for one env → (f_ext (B,6) Plücker world, net_cf (B,3))."""
     dt_ = body_pos.dtype
     nb = scene.nbody
-    tau_c = jnp.asarray(max(2.0 * dt_sub, 1e-3), dt_)
+    if tables.n_con == 0:
+        return jnp.zeros((nb, 6), dt_), jnp.zeros((nb, 3), dt_)
+    tau_c = max(2.0 * dt_sub, 1e-3)
     zeta = 1.0
 
-    # world poses of all geoms
-    g_body = jnp.asarray(scene.geom_body)
-    gp = body_pos[g_body] + quat_rotate(body_quat[g_body], jnp.asarray(scene.geom_pos, dt_))
-    gq = quat_mul(body_quat[g_body], jnp.asarray(scene.geom_quat, dt_))
+    # world poses of all geoms (static index gathers)
+    gb_idx = scene.geom_body            # numpy
+    gp = body_pos[gb_idx] + quat_rotate(body_quat[gb_idx], jnp.asarray(scene.geom_pos, dt_))
+    gq = quat_mul(body_quat[gb_idx], jnp.asarray(scene.geom_quat, dt_))
 
-    contacts = []  # each: dict(point, normal, depth, body_a, body_b, kn, kd, mu)
+    pts, nrms, dpths = [], [], []
+    up = jnp.asarray([0.0, 0.0, 1.0], dt_)
+    gtypes = scene.geom_type            # numpy
+    sizes = np.asarray(scene.geom_size, np.float32)
 
-    def add_contacts(point, normal, depth, geom_a, geom_b, meff, mu, npts):
-        """geom_b < 0 → world plane."""
-        kn = jnp.asarray(meff, dt_) / (tau_c * tau_c * npts)
-        kd = 2.0 * zeta * jnp.asarray(meff, dt_) / (tau_c * npts)
-        ba = g_body[jnp.asarray(geom_a)]
-        bb = jnp.where(
-            jnp.asarray(geom_b) >= 0,
-            g_body[jnp.clip(jnp.asarray(geom_b), 0, None)],
-            -1,
-        )
-        contacts.append((point, normal, depth, ba, bb, kn, kd, jnp.asarray(mu, dt_)))
-
-    # ---- capsuloid vs plane: 2 endpoint contacts ----
+    # ---- capsuloid vs plane (endpoint-major: all p0 then all p1) ----
     if len(tables.cp_geom):
-        g = jnp.asarray(tables.cp_geom)
-        gt = jnp.asarray(scene.geom_type)[g]
-        size = jnp.asarray(scene.geom_size, dt_)[g]
-        p0, p1, r = _capsuloid_segment(gt, size, gp[g], gq[g])
-        musc = jnp.asarray(tables.cp_mu, dt_) * geom_friction_scale[g]
+        g = tables.cp_geom
+        p0, p1, r = _capsuloid_segment(gtypes[g], sizes[g], gp[g], gq[g])
         for pend in (p0, p1):
-            depth = r - pend[..., 2]
-            normal = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0], dt_), pend.shape)
-            point = pend.at[..., 2].add(-r)
-            add_contacts(point, normal, depth, g, -jnp.ones_like(g), tables.cp_meff, musc, 2.0)
+            dpths.append(r - pend[..., 2])
+            nrms.append(jnp.broadcast_to(up, pend.shape))
+            pts.append(pend.at[..., 2].add(-r))
 
-    # ---- box vs plane: 8 corners ----
+    # ---- box vs plane (corner-major) ----
     if len(tables.bp_geom):
-        g = jnp.asarray(tables.bp_geom)
-        half = jnp.asarray(scene.geom_size, dt_)[g]
-        corners = _box_corners(gp[g], gq[g], half)          # (n,8,3)
-        musc = jnp.asarray(tables.bp_mu, dt_) * geom_friction_scale[g]
-        n = corners.shape[0]
+        g = tables.bp_geom
+        corners = _box_corners(gp[g], gq[g], jnp.asarray(sizes[g], dt_))  # (n,8,3)
         for ci in range(8):
-            pt = corners[:, ci]
-            depth = -pt[..., 2]
-            normal = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0], dt_), pt.shape)
-            add_contacts(pt, normal, depth, g, -jnp.ones_like(g), tables.bp_meff, musc, 4.0)
+            pt = corners[..., ci, :]
+            dpths.append(-pt[..., 2])
+            nrms.append(jnp.broadcast_to(up, pt.shape))
+            pts.append(pt)
 
     # ---- capsuloid vs capsuloid ----
     if len(tables.cc_a):
-        ga, gb = jnp.asarray(tables.cc_a), jnp.asarray(tables.cc_b)
-        gt_all = jnp.asarray(scene.geom_type)
-        size = jnp.asarray(scene.geom_size, dt_)
-        pa0, pa1, ra = _capsuloid_segment(gt_all[ga], size[ga], gp[ga], gq[ga])
-        pb0, pb1, rb = _capsuloid_segment(gt_all[gb], size[gb], gp[gb], gq[gb])
+        ga, gb = tables.cc_a, tables.cc_b
+        pa0, pa1, ra = _capsuloid_segment(gtypes[ga], sizes[ga], gp[ga], gq[ga])
+        pb0, pb1, rb = _capsuloid_segment(gtypes[gb], sizes[gb], gp[gb], gq[gb])
         ca, cb = _segment_closest(pa0, pa1, pb0, pb1)
         delta = ca - cb
         dist = jnp.linalg.norm(delta, axis=-1)
-        normal = delta / jnp.maximum(dist, 1e-9)[..., None]   # B → A
+        normal = delta / jnp.maximum(dist, 1e-9)[..., None]
         depth = (ra + rb) - dist
-        point = cb + normal * (rb - 0.5 * jnp.maximum(depth, 0.0))[..., None]
-        musc = jnp.asarray(tables.cc_mu, dt_) * 0.5 * (
-            geom_friction_scale[ga] + geom_friction_scale[gb]
-        )
-        add_contacts(point, normal, depth, ga, gb, tables.cc_meff, musc, 1.0)
+        pts.append(cb + normal * (rb - 0.5 * jnp.maximum(depth, 0.0))[..., None])
+        nrms.append(normal)
+        dpths.append(depth)
 
-    # ---- capsuloid vs box: 3 sample spheres ----
+    # ---- capsuloid vs box (point-major: p0, p1, closest) ----
     if len(tables.cb_cap):
-        gc, gx = jnp.asarray(tables.cb_cap), jnp.asarray(tables.cb_box)
-        gt_all = jnp.asarray(scene.geom_type)
-        size = jnp.asarray(scene.geom_size, dt_)
-        p0, p1, r = _capsuloid_segment(gt_all[gc], size[gc], gp[gc], gq[gc])
-        half = size[gx]
-        musc = jnp.asarray(tables.cb_mu, dt_) * 0.5 * (
-            geom_friction_scale[gc] + geom_friction_scale[gx]
-        )
-        # endpoints + closest point of segment to box center
+        gc, gx = tables.cb_cap, tables.cb_box
+        p0, p1, r = _capsuloid_segment(gtypes[gc], sizes[gc], gp[gc], gq[gc])
+        half = jnp.asarray(sizes[gx], dt_)
         bc = gp[gx]
         cp_seg, _ = _segment_closest(p0, p1, bc, bc)
         for sp in (p0, p1, cp_seg):
             n_w, depth_c, surf = _point_to_box(sp, gp[gx], gq[gx], half)
-            depth = depth_c + r
-            add_contacts(surf, n_w, depth, gc, gx, tables.cb_meff, musc, 2.0)
+            pts.append(surf)
+            nrms.append(n_w)
+            dpths.append(depth_c + r)
 
-    # ---- box vs box: corners of each in the other ----
+    # ---- box vs box (corner-major, A-in-B then B-in-A) ----
     if len(tables.bb_a):
-        ga, gb = jnp.asarray(tables.bb_a), jnp.asarray(tables.bb_b)
-        size = jnp.asarray(scene.geom_size, dt_)
-        musc = jnp.asarray(tables.bb_mu, dt_) * 0.5 * (
-            geom_friction_scale[ga] + geom_friction_scale[gb]
-        )
-        ca = _box_corners(gp[ga], gq[ga], size[ga])   # (n,8,3)
-        cb = _box_corners(gp[gb], gq[gb], size[gb])
+        ga, gb = tables.bb_a, tables.bb_b
+        ca = _box_corners(gp[ga], gq[ga], jnp.asarray(sizes[ga], dt_))
+        cb = _box_corners(gp[gb], gq[gb], jnp.asarray(sizes[gb], dt_))
         for ci in range(8):
-            # corner of A against box B: normal from B→A
-            n_w, depth_c, surf = _point_to_box(ca[:, ci], gp[gb], gq[gb], size[gb])
-            add_contacts(surf, n_w, depth_c, ga, gb, tables.bb_meff, musc, 4.0)
+            n_w, depth_c, surf = _point_to_box(ca[..., ci, :], gp[gb], gq[gb], jnp.asarray(sizes[gb], dt_))
+            pts.append(surf); nrms.append(n_w); dpths.append(depth_c)
         for ci in range(8):
-            n_w, depth_c, surf = _point_to_box(cb[:, ci], gp[ga], gq[ga], size[ga])
-            # normal away from A; flip so it points B→A
-            add_contacts(surf, -n_w, depth_c, ga, gb, tables.bb_meff, musc, 4.0)
+            n_w, depth_c, surf = _point_to_box(cb[..., ci, :], gp[ga], gq[ga], jnp.asarray(sizes[ga], dt_))
+            pts.append(surf); nrms.append(-n_w); dpths.append(depth_c)
 
-    f_ext = jnp.zeros((nb, 6), dt_)
-    net_cf = jnp.zeros((nb, 3), dt_)
-    if not contacts:
-        return f_ext, net_cf
+    point = jnp.concatenate(pts)                   # (n_con, 3)
+    normal = jnp.concatenate(nrms)
+    depth = jnp.concatenate(dpths)
 
-    point = jnp.concatenate([c[0] for c in contacts])
-    normal = jnp.concatenate([c[1] for c in contacts])
-    depth = jnp.concatenate([c[2] for c in contacts])
-    body_a = jnp.concatenate([jnp.broadcast_to(c[3], c[2].shape) for c in contacts])
-    body_b = jnp.concatenate([jnp.broadcast_to(c[4], c[2].shape) for c in contacts])
-    kn = jnp.concatenate([jnp.broadcast_to(c[5], c[2].shape) for c in contacts])
-    kd = jnp.concatenate([jnp.broadcast_to(c[6], c[2].shape) for c in contacts])
-    mu = jnp.concatenate([jnp.broadcast_to(c[7], c[2].shape) for c in contacts])
+    # static per-candidate parameters
+    kn = jnp.asarray(tables.kn_base / (tau_c * tau_c), dt_)
+    kd = jnp.asarray(2.0 * zeta * tables.kn_base * tau_c / (tau_c * tau_c), dt_)
+    fa = geom_friction_scale[tables.con_geom_a]
+    fb_idx = np.where(tables.con_geom_b >= 0, tables.con_geom_b, tables.con_geom_a)
+    fb = geom_friction_scale[fb_idx]
+    mu = jnp.asarray(tables.mu_base, dt_) * 0.5 * (fa + fb)
 
-    # velocity of contact point on each body
-    def point_vel(b, p):
-        bi = jnp.clip(b, 0, nb - 1)
-        v = body_linvel[bi] + jnp.cross(body_angvel[bi], p - body_pos[bi])
-        return jnp.where((b >= 0)[..., None], v, 0.0)
+    # contact-point velocities via static gathers (plane rows use body 0 of
+    # acc_b == all-zero → velocity contribution masked by the matrix itself)
+    ba = scene.geom_body[tables.con_geom_a]                        # numpy
+    bb = scene.geom_body[fb_idx]
+    has_b = jnp.asarray((tables.con_geom_b >= 0).astype(np.float32), dt_)
 
-    v_rel = point_vel(body_a, point) - point_vel(body_b, point)
+    def point_vel(bidx, p):
+        return body_linvel[bidx] + jnp.cross(body_angvel[bidx], p - body_pos[bidx])
+
+    v_rel = point_vel(ba, point) - point_vel(bb, point) * has_b[..., None]
     vn = jnp.sum(v_rel * normal, -1)
     vt = v_rel - vn[..., None] * normal
     vt_norm = jnp.linalg.norm(vt, axis=-1)
@@ -355,15 +358,12 @@ def compute_contact_forces(
     fn = jnp.where(active, jnp.maximum(kn * depth - kd * vn, 0.0), 0.0)
     eps_v = jnp.asarray(scene.friction_smoothing_vel, dt_)
     ft = -(mu * fn / jnp.maximum(vt_norm, eps_v))[..., None] * vt
-    force = fn[..., None] * normal + ft                   # on body A
+    force = fn[..., None] * normal + ft                            # on body A
 
-    # Plücker world force about origin: [p×F; F]
-    plk_a = jnp.concatenate([jnp.cross(point, force), force], axis=-1)
-    a_idx = jnp.clip(body_a, 0, nb - 1)
-    b_idx = jnp.clip(body_b, 0, nb - 1)
-    valid_b = (body_b >= 0)[..., None]
-    f_ext = f_ext.at[a_idx].add(plk_a)
-    f_ext = f_ext.at[b_idx].add(jnp.where(valid_b, -plk_a, 0.0))
-    net_cf = net_cf.at[a_idx].add(force)
-    net_cf = net_cf.at[b_idx].add(jnp.where(valid_b, -force, 0.0))
+    plk = jnp.concatenate([jnp.cross(point, force), force], axis=-1)  # (n_con,6)
+
+    # static one-hot accumulation (B, n_con) @ (n_con, 6/3)
+    acc = jnp.asarray(tables.acc_a - tables.acc_b, dt_)
+    f_ext = acc @ plk
+    net_cf = acc @ force
     return f_ext, net_cf

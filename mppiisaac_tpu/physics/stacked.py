@@ -25,7 +25,7 @@ contractions hit the MXU. This is the engine behind `Engine.step`.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from typing import List, Optional
 
 import jax
@@ -65,6 +65,7 @@ class StackedModel:
     inertia: np.ndarray         # (B,3,3)
     grav_mask: np.ndarray       # (B,) 1.0 unless actor disables gravity or is static
     depth_passes: int
+    parent_chain: List[np.ndarray]  # static pointer-doubling index chains
     # generalized-coordinate maps
     dofc_body: np.ndarray       # (NV,) body owning each velocity coordinate
     dofc_is_joint: np.ndarray   # (NV,) bool
@@ -93,6 +94,11 @@ class StackedModel:
     drive_mode: np.ndarray
     drive_kp: np.ndarray
     drive_kd: np.ndarray
+    # static pick/scatter matrices (one-hot constants)
+    base_pick: np.ndarray = field(default_factory=lambda: np.zeros((0, 0), _F32))
+    joint_pick: np.ndarray = field(default_factory=lambda: np.zeros((0, 0), _F32))
+    uscatter: np.ndarray = field(default_factory=lambda: np.zeros((0, 0), _F32))
+    body_jdof_clipped: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int32))
 
 
 def build_stacked(scene: SceneModel) -> StackedModel:
@@ -185,6 +191,16 @@ def build_stacked(scene: SceneModel) -> StackedModel:
         depth[b] = d
     max_depth = int(depth.max()) if B else 0
     passes = max(1, int(np.ceil(np.log2(max_depth + 1)))) if max_depth > 0 else 0
+    # precompute the pointer-doubling chains host-side: runtime-computed
+    # indices would hit XLA's dynamic-gather slow path (they can't be
+    # constant-folded through gathers)
+    P0 = np.where(parent < 0, B, parent).astype(np.int32)
+    P0 = np.concatenate([P0, np.asarray([B], np.int32)])
+    parent_chain = []
+    Pk = P0
+    for _ in range(passes):
+        parent_chain.append(Pk)
+        Pk = Pk[Pk]
 
     # padded per-actor solve tables
     dyn = act_rows
@@ -211,6 +227,25 @@ def build_stacked(scene: SceneModel) -> StackedModel:
                     else:
                         act_anc[r, x, y] = 1.0 if x <= y else 0.0
 
+    # static pick/scatter matrices — all runtime index math becomes matmuls
+    # with one-hot constants (dynamic gathers/scatters are a TPU slow path)
+    A = scene.nactor
+    base_pick = np.zeros((NV, A * 6), _F32)     # u_base = base_pick @ base6.flat
+    joint_pick = np.zeros((NV, max(D, 1)), _F32)  # u_joint = joint_pick @ qd
+    for j, (jb, kind, jd) in enumerate(coords):
+        if kind < 6:
+            base_pick[j, scene.body_actor[jb] * 6 + kind] = 1.0
+        else:
+            joint_pick[j, jd] = 1.0
+    uscatter = np.zeros((NV, A_dyn * nv_max), _F32)  # u_new = uscatter @ u_new_a.flat
+    for r in range(A_dyn):
+        for x in range(nv_max):
+            cidx = act_coords[r, x]
+            if cidx < NV:
+                uscatter[cidx, r * nv_max + x] = 1.0
+    # clipped jdof for fk gather (no runtime clip)
+    body_jdof_clipped = np.where(body_jdof >= 0, body_jdof, 0).astype(np.int32)
+
     # actuated dof params stacked across actors
     def cat(field):
         vals = [getattr(a, field) for a in scene.actors]
@@ -225,6 +260,7 @@ def build_stacked(scene: SceneModel) -> StackedModel:
         body_jdof=body_jdof,
         mass=mass, com=com, inertia=inertia, grav_mask=grav_mask,
         depth_passes=passes,
+        parent_chain=parent_chain,
         dofc_body=dofc_body, dofc_is_joint=dofc_is_joint, dofc_jdof=dofc_jdof,
         jd_coord=jd_coord, base_S=base_S,
         anc_dof=anc_dof, subtree=subtree,
@@ -237,6 +273,8 @@ def build_stacked(scene: SceneModel) -> StackedModel:
         dof_armature=cat("dof_armature"),
         drive_mode=cat("drive_mode").astype(np.int32),
         drive_kp=cat("drive_kp"), drive_kd=cat("drive_kd"),
+        base_pick=base_pick, joint_pick=joint_pick, uscatter=uscatter,
+        body_jdof_clipped=body_jdof_clipped,
     )
 
 
@@ -251,9 +289,8 @@ def fk_stacked(m: StackedModel, root_pos, root_quat, q):
     jq = jnp.asarray(m.jquat, dt_)
     jp = jnp.asarray(m.jpos, dt_)
     ax = jnp.asarray(m.jaxis, dt_)
-    jdof = jnp.asarray(m.body_jdof)
     if m.D:
-        qb = jnp.where(jdof >= 0, q[jnp.clip(jdof, 0, None)], 0.0)
+        qb = jnp.where(jnp.asarray(m.body_jdof >= 0), q[m.body_jdof_clipped], 0.0)
     else:
         qb = jnp.zeros(B, dt_)
 
@@ -266,21 +303,20 @@ def fk_stacked(m: StackedModel, root_pos, root_quat, q):
     )
     # roots: local transform IS the world root pose
     is_root = jnp.asarray(m.parent < 0)
-    ba = jnp.asarray(m.body_actor)
+    ba = m.body_actor  # static numpy index
     L_pos = jnp.where(is_root[:, None], root_pos[ba], L_pos)
     L_quat = jnp.where(is_root[:, None], root_quat[ba], L_quat)
 
-    # pointer doubling with a virtual identity node at index B
+    # pointer doubling with a virtual identity node at index B; the pointer
+    # chains are STATIC numpy (precomputed at build) so every gather has
+    # constant indices — dynamic-index gathers are a TPU slow path
     T_pos = jnp.concatenate([L_pos, jnp.zeros((1, 3), dt_)])
     T_quat = jnp.concatenate([L_quat, jnp.asarray([[0, 0, 0, 1]], dt_)])
-    P = jnp.asarray(np.where(m.parent < 0, B, m.parent), jnp.int32)
-    P = jnp.concatenate([P, jnp.asarray([B], jnp.int32)])
-    for _ in range(m.depth_passes):
-        pp = T_pos[P]
-        pq = T_quat[P]
+    for Pk in m.parent_chain:
+        pp = T_pos[Pk]
+        pq = T_quat[Pk]
         T_pos = pp + quat_rotate(pq, T_pos)
         T_quat = quat_mul(pq, T_quat)
-        P = P[P]
     body_pos = T_pos[:B]
     body_quat = quat_normalize(T_quat[:B])
     axis_w = quat_rotate(body_quat, ax)
@@ -319,8 +355,8 @@ def _crf(v, f):
 def motion_subspace_stacked(m: StackedModel, body_pos, axis_w):
     """(NV,6) world-frame Plücker motion subspaces."""
     dt_ = body_pos.dtype
-    a = axis_w[jnp.asarray(m.dofc_body)]
-    p = body_pos[jnp.asarray(m.dofc_body)]
+    a = axis_w[m.dofc_body]       # static numpy index gathers
+    p = body_pos[m.dofc_body]
     is_rev = jnp.asarray(
         (m.jtype[m.dofc_body] == JOINT_REVOLUTE) & m.dofc_is_joint
     )
@@ -336,24 +372,14 @@ def motion_subspace_stacked(m: StackedModel, body_pos, axis_w):
 
 
 def generalized_velocities(m: StackedModel, state: SimState):
-    """u (NV,) from root velocities (converted to Plücker) + qd."""
-    dt_ = state.root_pos.dtype
+    """u (NV,) from root velocities (converted to Plücker) + qd — two static
+    one-hot matmuls, no index ops."""
     w = state.root_angvel
     v_o = state.root_linvel - jnp.cross(w, state.root_pos)   # Plücker linear
     base6 = jnp.concatenate([w, v_o], -1)                     # (A,6)
-    u = jnp.zeros(m.NV, dt_)
-    kind = np.zeros(m.NV, np.int32)
-    # base coords: pull component k of base6[actor]
-    dofc_body = m.dofc_body
-    base_rows = ~m.dofc_is_joint
-    if base_rows.any():
-        rows = np.where(base_rows)[0]
-        actors = m.body_actor[dofc_body[rows]]
-        comps = np.argmax(m.base_S[rows], axis=1)
-        u = u.at[jnp.asarray(rows)].set(base6[jnp.asarray(actors), jnp.asarray(comps)])
-    jrows = np.where(m.dofc_is_joint)[0]
-    if len(jrows):
-        u = u.at[jnp.asarray(jrows)].set(state.qd[jnp.asarray(m.dofc_jdof[jrows])])
+    u = jnp.asarray(m.base_pick) @ base6.reshape(-1)
+    if m.D:
+        u = u + jnp.asarray(m.joint_pick) @ state.qd
     return u
 
 
@@ -439,7 +465,7 @@ def stacked_substep(
     # bias: a = grav_freefall + anc @ crm(v_body(j), S_j u_j)
     g = jnp.asarray(scene.gravity, dt_)
     a0 = jnp.concatenate([jnp.zeros(3, dt_), -g])
-    vj = v_b[jnp.asarray(m.dofc_body)]                # (NV,6)
+    vj = v_b[m.dofc_body]                             # (NV,6) static gather
     cterm = _crm(vj, S * u[:, None])                  # (NV,6)
     a_b = jnp.asarray(m.grav_mask, dt_)[:, None] * a0[None, :] + anc @ cterm
     Iv = jnp.einsum("bij,bj->bi", Iw, v_b)
@@ -455,12 +481,13 @@ def stacked_substep(
     tau_j, d_imp_j = drive_terms_stacked(
         m, state.q, state.qd, state.dof_target, dt
     )
-    tau = jnp.zeros(m.NV, dt_)
-    d_imp = jnp.zeros(m.NV, dt_)
-    jc = jnp.asarray(m.jd_coord)
     if m.D:
-        tau = tau.at[jc].set(tau_j)
-        d_imp = d_imp.at[jc].set(d_imp_j + jnp.asarray(m.dof_armature, dt_))
+        jpick = jnp.asarray(m.joint_pick)
+        tau = jpick @ tau_j
+        d_imp = jpick @ (d_imp_j + jnp.asarray(m.dof_armature, dt_))
+    else:
+        tau = jnp.zeros(m.NV, dt_)
+        d_imp = jnp.zeros(m.NV, dt_)
 
     # per-actor padded blocks
     Sz = jnp.concatenate([S, jnp.zeros((1, 6), dt_)])
@@ -469,7 +496,7 @@ def stacked_substep(
     tz = jnp.concatenate([tau, jnp.zeros(1, dt_)])
     Cz = jnp.concatenate([C, jnp.zeros(1, dt_)])
     dz = jnp.concatenate([d_imp, jnp.zeros(1, dt_)])
-    ac = jnp.asarray(m.act_coords)                    # (A,nv)
+    ac = m.act_coords                                 # static numpy (A,nv)
     Sa = Sz[ac]                                       # (A,nv,6)
     Fa = Fz[ac]
     Mfull = jnp.einsum("ani,ami->anm", Sa, Fa)        # (A,nv,nv): S_x · F_y
@@ -483,16 +510,18 @@ def stacked_substep(
     rhs = jnp.einsum("anm,am->an", M0, ua) + dt * (tz[ac] - Cz[ac]) * pad
     # implicit drive damping + padding identity on the solve matrix only
     M = M0 + eye[None] * (dt * dz[ac] + (1.0 - pad) + 1e-8)[..., None, :]
-    u_new_a = jnp.linalg.solve(M, rhs[..., None])[..., 0] * pad   # (A,nv)
+    from .linalg import solve_psd
 
-    # scatter back to (NV,)
-    u_new = jnp.zeros(m.NV + 1, dt_).at[ac.reshape(-1)].set(u_new_a.reshape(-1))[: m.NV]
+    u_new_a = solve_psd(M, rhs) * pad                             # (A,nv)
+
+    # scatter back to (NV,) via static one-hot matmul
+    u_new = jnp.asarray(m.uscatter) @ u_new_a.reshape(-1)
 
     # integrate joints
     q = state.q
     qd = state.qd
     if m.D:
-        qd_new = u_new[jc]
+        qd_new = u_new[m.jd_coord]
         maxvel = jnp.asarray(m.dof_maxvel, dt_)
         qd_new = jnp.clip(qd_new, -maxvel, maxvel)
         q_new = q + dt * qd_new
@@ -512,8 +541,8 @@ def stacked_substep(
     floats = [r for r in range(m.A_dyn) if m.act_floating[r]]
     if floats:
         fr = np.asarray(floats)
-        ai = jnp.asarray(m.act_actor[fr])
-        base6 = u_new_a[jnp.asarray(fr), :6]          # (nf,6) [ω, v_O]
+        ai = m.act_actor[fr]
+        base6 = u_new_a[fr, :6]                       # (nf,6) [ω, v_O]
         w_new = base6[:, :3]
         v_o = base6[:, 3:]
         p_r = root_pos[ai]

@@ -54,27 +54,30 @@ class MPPIisaacPlanner:
         if params_K is None:
             params_K = sample_model_params(built, engine, K, seed=cfg.mppi.seed_val)
         self._params_K = params_K
-        step_K = jax.vmap(engine.step)
 
+        # PER-SAMPLE rollout functions (the solver vmaps the whole H-scan over
+        # K — vmap-of-scan, see mppi/solver.py). The rollout "state" is
+        # (SimState, ModelParams) so per-env domain randomization rides along.
         def dynamics(state, u, t):
-            tgt = built.cmd_map.apply(u)          # (K, ndof)
-            state = state._replace(dof_target=tgt)
-            return step_K(state, self._params_K)
+            st, pr = state
+            st = st._replace(dof_target=built.cmd_map.apply(u))
+            return (engine.step(st, pr), pr)
 
         def running_cost(state, t):
-            return self.objective.compute_cost(SimView(built, state))
+            st, _ = state
+            return self.objective.compute_cost(SimView(built, st))
 
         if built.visualize_bodies:
             vb = built.visualize_bodies[0]
 
             def vis_fn(state):
-                return state.body_pos[:, vb]
+                return state[0].body_pos[vb]
         else:
             vis_fn = None
 
         if prior is not None:
             def prior_fn(state, t):
-                return prior.compute_command(SimView(built, state))
+                return prior.compute_command(SimView(built, state[0]))
         else:
             prior_fn = None
 
@@ -98,7 +101,7 @@ class MPPIisaacPlanner:
 
     # ------------------------------------------------------------------
     def _command_from_current_state(self) -> jnp.ndarray:
-        action = self.mppi.command(self.sim.state)
+        action = self.mppi.command((self.sim.state, self._params_K))
         self._last_vis = self.mppi.last_info.get("vis")
         return action
 
