@@ -26,7 +26,7 @@ _PRIMES = [
 
 def _try_native_halton(n: int, dims: int, skip: int):
     try:
-        from mppiisaac_tpu.ops.halton_native import halton as _h
+        from ..ops.native import halton as _h
         return _h(n, dims, skip)
     except Exception:
         return None
