@@ -55,7 +55,12 @@ class MPPIPlanner:
         running_cost: Callable,
         prior: Optional[Callable] = None,
         vis_fn: Optional[Callable] = None,
+        fused=None,
     ):
+        # `fused`: optional ops.pallas.fused_rollout.FusedRollout — replaces
+        # the vmap-of-scan rollout with one Pallas kernel (state0 must then be
+        # a (SimState_K, ModelParams_K) tuple)
+        self.fused = fused
         self.nx = nx
         nu = np.asarray(cfg.noise_sigma, dtype=np.float64).shape[0] if cfg.noise_sigma is not None else nx
         self.nu = nu
@@ -169,22 +174,26 @@ class MPPIPlanner:
         if use_prior:
             roles = roles.at[K - 2].set(1)
 
-        def rollout_one(state, V_k, role):
-            def body(st, inp):
-                t, u_t = inp                                   # u_t (nu,)
-                if use_prior:
-                    pu = jnp.clip(self.prior(st, t), u_min, u_max)
-                    u_t = jnp.where(role == 1, pu, u_t)
-                st = self.dynamics(st, u_t * c.u_scale, t)
-                cost = self.running_cost(st, t)
-                vis = self.vis_fn(st) if self.vis_fn is not None else jnp.zeros((0,))
-                return st, (cost, vis)
+        if self.fused is not None:
+            sim_state_K, params_K = state0
+            costs, vis = self.fused.rollout(sim_state_K, params_K, V * c.u_scale)
+        else:
+            def rollout_one(state, V_k, role):
+                def body(st, inp):
+                    t, u_t = inp                               # u_t (nu,)
+                    if use_prior:
+                        pu = jnp.clip(self.prior(st, t), u_min, u_max)
+                        u_t = jnp.where(role == 1, pu, u_t)
+                    st = self.dynamics(st, u_t * c.u_scale, t)
+                    cost = self.running_cost(st, t)
+                    vis = self.vis_fn(st) if self.vis_fn is not None else jnp.zeros((0,))
+                    return st, (cost, vis)
 
-            _, (costs_k, vis_k) = jax.lax.scan(body, state, (ts, V_k))
-            return costs_k, vis_k                              # (H,), (H,d)
+                _, (costs_k, vis_k) = jax.lax.scan(body, state, (ts, V_k))
+                return costs_k, vis_k                          # (H,), (H,d)
 
-        costs, vis = jax.vmap(rollout_one)(state0, V, roles)   # (K,H), (K,H,d)
-        vis = jnp.swapaxes(vis, 0, 1)                          # (H,K,d)
+            costs, vis = jax.vmap(rollout_one)(state0, V, roles)  # (K,H), (K,H,d)
+            vis = jnp.swapaxes(vis, 0, 1)                      # (H,K,d)
 
         # action (control-noise) cost — MPPI information-theoretic term
         if c.noise_abs_cost:
@@ -277,6 +286,15 @@ class MPPIPlanner:
 
     def reset(self):
         self.carry = self.init_carry()
+
+    def retrace(self):
+        """Drop the compiled command so closures (objective weights, priors)
+        re-trace with their current values — the functional analog of the
+        reference's planner rebuild in `update_mppi_params`
+        (`mppi_isaac.py:129-137`)."""
+        self._command = jax.jit(self._command_impl)
+        if self.fused is not None:
+            self.fused.retrace()
 
     def update_noise_sigma(self, sigma):
         """Online re-tuning (parity: `update_mppi_params` rebuilds the planner,

@@ -1,0 +1,600 @@
+"""The physics substep in component ("lanes") form for the fused Pallas kernel.
+
+Semantically IDENTICAL to the XLA engine (physics/stacked.py + contact.py):
+same FK, same world-frame Plücker CRBA/RNEA, same implicit drives, same
+compliant contact law, same integrator — unit tests compare the two paths
+state-for-state. The difference is purely representational: every scalar is an
+(8,128) tile of MPPI samples, every loop is unrolled python, so the WHOLE
+substep lowers to one straight-line VPU program inside a single kernel (the
+XLA path pays ~20µs of launch overhead per fusion on this backend; here the
+only launch is the enclosing rollout kernel).
+
+State layout (python dict of tiles / tuples of tiles):
+  root_pos[a], root_quat[a], root_linvel[a], root_angvel[a]  per actor
+  q[d], qd[d]                                                per actuated dof
+Extras produced per substep: body_pos/quat/linvel/angvel per body, net contact
+force per body (for cost terms).
+"""
+from __future__ import annotations
+
+from typing import Dict, List
+
+import jax.numpy as jnp
+import numpy as np
+
+from ...physics.model import (
+    DRIVE_EFFORT,
+    DRIVE_POSITION,
+    DRIVE_VELOCITY,
+    JOINT_PRISMATIC,
+    JOINT_REVOLUTE,
+)
+from ...physics.urdf import GEOM_BOX, GEOM_CAPSULE
+from . import lanes as L
+
+
+def _t3(a):
+    return (float(a[0]), float(a[1]), float(a[2]))
+
+
+def _t4(a):
+    return (float(a[0]), float(a[1]), float(a[2]), float(a[3]))
+
+
+class LaneView:
+    """State access for kernel cost terms (per-substep snapshot)."""
+
+    def __init__(self, scene, pos, quat, linv, angv, ncf, q, qd, root_pos, root_quat, root_linv):
+        self.scene = scene
+        self._pos, self._quat = pos, quat
+        self._linv, self._angv = linv, angv
+        self._ncf = ncf
+        self.q, self.qd = q, qd
+        self._root_pos, self._root_quat, self._root_linv = root_pos, root_quat, root_linv
+
+    def body_pos(self, link, actor=None):
+        return self._pos[self.scene.body_index(link, actor)]
+
+    def body_quat(self, link, actor=None):
+        return self._quat[self.scene.body_index(link, actor)]
+
+    def actor_pos(self, name):
+        return self._root_pos[self.scene.actor_index(name)]
+
+    def actor_quat(self, name):
+        return self._root_quat[self.scene.actor_index(name)]
+
+    def actor_linvel(self, name):
+        return self._root_linv[self.scene.actor_index(name)]
+
+    def actor_net_cf(self, name):
+        ai = self.scene.actor_index(name)
+        o = self.scene.body_offset[ai]
+        n = self.scene.actors[ai].nbody
+        f = (0.0, 0.0, 0.0)
+        for b in range(o, o + n):
+            f = L.add3(f, self._ncf[b])
+        return f
+
+    def actor_q(self, name):
+        sl = self.scene.actor_dof_slice(name)
+        return self.q[sl]
+
+    def actor_qd(self, name):
+        sl = self.scene.actor_dof_slice(name)
+        return self.qd[sl]
+
+
+def fk_lanes(scene, state):
+    """→ (pos[b] 3-tuples, quat[b] 4-tuples, linv[b], angv[b], axis_w[b])."""
+    B = scene.nbody
+    pos: List = [None] * B
+    quat: List = [None] * B
+    linv: List = [None] * B
+    angv: List = [None] * B
+    axis_w: List = [None] * B
+    for ai, art in enumerate(scene.actors):
+        bo = scene.body_offset[ai]
+        do = scene.dof_offset[ai]
+        for i in range(art.nbody):
+            g = bo + i
+            if art.parent[i] < 0:
+                pos[g] = state["root_pos"][ai]
+                quat[g] = state["root_quat"][ai]
+                linv[g] = state["root_linvel"][ai]
+                angv[g] = state["root_angvel"][ai]
+                axis_w[g] = (1.0, 0.0, 0.0)
+                continue
+            p = bo + int(art.parent[i])
+            jp = _t3(art.jpos[i])
+            jq = _t4(art.jquat[i])
+            ax = _t3(art.jaxis[i])
+            fpos = L.add3(pos[p], L.qrot(quat[p], jp))
+            fq = L.qmul(quat[p], jq)
+            vf = L.add3(linv[p], L.cross3(angv[p], L.sub3(fpos, pos[p])))
+            jt = int(art.jtype[i])
+            if jt == JOINT_REVOLUTE:
+                k = do + int(art.dof_index[i])
+                rotq = L.q_axis_angle(ax, state["q"][k])
+                aw = L.qrot(fq, ax)
+                pos[g] = fpos
+                quat[g] = L.qmul(fq, rotq)
+                angv[g] = L.fma3(angv[p], aw, state["qd"][k])
+                linv[g] = vf
+                axis_w[g] = aw
+            elif jt == JOINT_PRISMATIC:
+                k = do + int(art.dof_index[i])
+                aw = L.qrot(fq, ax)
+                bp = L.fma3(fpos, aw, state["q"][k])
+                pos[g] = bp
+                quat[g] = fq
+                angv[g] = angv[p]
+                linv[g] = L.fma3(
+                    L.add3(vf, L.cross3(angv[p], L.sub3(bp, fpos))), aw, state["qd"][k]
+                )
+                axis_w[g] = aw
+            else:  # fixed
+                pos[g] = fpos
+                quat[g] = fq
+                angv[g] = angv[p]
+                linv[g] = vf
+                axis_w[g] = (1.0, 0.0, 0.0)
+    return pos, quat, linv, angv, axis_w
+
+
+# ---------------------------------------------------------------------------
+# contacts (mirrors physics/contact.py candidate enumeration + force law)
+# ---------------------------------------------------------------------------
+
+def _point_to_box_lanes(point, box_pos, box_quat, half):
+    """Mirror of contact._point_to_box in component form."""
+    lp = L.qrot_inv(box_quat, L.sub3(point, box_pos))
+    cl = tuple(jnp.clip(lp[i], -half[i], half[i]) for i in range(3))
+    ov = L.sub3(lp, cl)
+    od = L.norm3(ov, eps=0.0)
+    is_out = od > 1e-9
+    fd = tuple(half[i] - jnp.abs(lp[i]) for i in range(3))
+    # inside: min face
+    m01 = jnp.minimum(fd[0], fd[1])
+    dmin = jnp.minimum(m01, fd[2])
+    sel0 = fd[0] <= jnp.minimum(fd[1], fd[2])
+    sel1 = (~sel0) & (fd[1] <= fd[2])
+    sel2 = ~(sel0 | sel1)
+    sgn = tuple(jnp.sign(lp[i]) for i in range(3))
+    n_in = (
+        jnp.where(sel0, sgn[0], 0.0),
+        jnp.where(sel1, sgn[1], 0.0),
+        jnp.where(sel2, sgn[2], 0.0),
+    )
+    inv_od = 1.0 / jnp.maximum(od, 1e-9)
+    n_out = L.scale3(ov, inv_od)
+    n_loc = tuple(jnp.where(is_out, n_out[i], n_in[i]) for i in range(3))
+    depth_c = jnp.where(is_out, -od, dmin)
+    surf_loc = tuple(
+        jnp.where(is_out, cl[i], lp[i] + n_in[i] * dmin) for i in range(3)
+    )
+    n_w = L.qrot(box_quat, n_loc)
+    surf_w = L.add3(box_pos, L.qrot(box_quat, surf_loc))
+    return n_w, depth_c, surf_w
+
+
+def _segment_closest_lanes(p0, p1, q0, q1, eps=1e-9):
+    d1 = L.sub3(p1, p0)
+    d2 = L.sub3(q1, q0)
+    r = L.sub3(p0, q0)
+    a = L.dot3(d1, d1)
+    e = L.dot3(d2, d2)
+    f = L.dot3(d2, r)
+    c = L.dot3(d1, r)
+    b = L.dot3(d1, d2)
+    denom = a * e - b * b
+    s = jnp.where(denom > eps, jnp.clip((b * f - c * e) / jnp.maximum(denom, eps), 0.0, 1.0), 0.0)
+    t = jnp.where(e > eps, jnp.clip((b * s + f) / jnp.maximum(e, eps), 0.0, 1.0), 0.0)
+    s = jnp.where(a > eps, jnp.clip((b * t - c) / jnp.maximum(a, eps), 0.0, 1.0), 0.0)
+    return L.fma3(p0, d1, s), L.fma3(q0, d2, t)
+
+
+_BOX_CORNER_SIGNS = [(sx, sy, sz) for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)]
+
+
+def contacts_lanes(scene, tables, pos, quat, linv, angv, fric_scale, dt_sub):
+    """→ (plk_n[b], plk_f[b] Plücker force 3-tuples, net_cf[b])."""
+    B = scene.nbody
+    tau_c = max(2.0 * dt_sub, 1e-3)
+    zeta = 1.0
+    geom_used = sorted(
+        set(tables.con_geom_a.tolist()) | {g for g in tables.con_geom_b.tolist() if g >= 0}
+    )
+    gpos: Dict = {}
+    gquat: Dict = {}
+    seg: Dict = {}
+    corners: Dict = {}
+    for g in geom_used:
+        b = int(scene.geom_body[g])
+        off = _t3(scene.geom_pos[g])
+        gq = _t4(scene.geom_quat[g])
+        gp = L.add3(pos[b], L.qrot(quat[b], off))
+        gqq = L.qmul(quat[b], gq)
+        gpos[g], gquat[g] = gp, gqq
+        gt = int(scene.geom_type[g])
+        size = scene.geom_size[g]
+        if gt == GEOM_BOX:
+            half = _t3(size)
+            cs = []
+            for sx, sy, sz in _BOX_CORNER_SIGNS:
+                local = (sx * half[0], sy * half[1], sz * half[2])
+                cs.append(L.add3(gp, L.qrot(gqq, local)))
+            corners[g] = cs
+        else:
+            r = float(size[0])
+            hl = float(size[1]) if gt == GEOM_CAPSULE else 0.0
+            axis = L.qrot(gqq, (0.0, 0.0, 1.0))
+            seg[g] = (L.fma3(gp, axis, -hl), L.fma3(gp, axis, hl), r)
+
+    # per-candidate (point, normal, depth) in table order
+    cands = []   # (point, normal, depth)
+    for g in tables.cp_geom.tolist():
+        p0, p1, r = seg[g]
+        cands.append((None, g, -1, "cp0", (p0, r)))
+    for g in tables.cp_geom.tolist():
+        p0, p1, r = seg[g]
+        cands.append((None, g, -1, "cp0", (p1, r)))
+    for ci in range(8):
+        for g in tables.bp_geom.tolist():
+            cands.append((None, g, -1, "bp", (corners[g][ci],)))
+    for ga, gb in zip(tables.cc_a.tolist(), tables.cc_b.tolist()):
+        cands.append((None, ga, gb, "cc", ()))
+    for which in range(3):
+        for ga, gb in zip(tables.cb_cap.tolist(), tables.cb_box.tolist()):
+            cands.append((None, ga, gb, "cb", (which,)))
+    for ci in range(8):
+        for ga, gb in zip(tables.bb_a.tolist(), tables.bb_b.tolist()):
+            cands.append((None, ga, gb, "bbA", (ci,)))
+    for ci in range(8):
+        for ga, gb in zip(tables.bb_a.tolist(), tables.bb_b.tolist()):
+            cands.append((None, ga, gb, "bbB", (ci,)))
+    assert len(cands) == tables.n_con, (len(cands), tables.n_con)
+
+    plk_n = [(0.0, 0.0, 0.0)] * B
+    plk_f = [(0.0, 0.0, 0.0)] * B
+    net_cf = [(0.0, 0.0, 0.0)] * B
+
+    for idx, (_, ga, gb, kind, extra) in enumerate(cands):
+        if kind == "cp0":
+            pend, r = extra
+            depth = r - pend[2]
+            normal = (0.0, 0.0, 1.0)
+            point = (pend[0], pend[1], pend[2] - r)
+        elif kind == "bp":
+            (pt,) = extra
+            depth = -pt[2]
+            normal = (0.0, 0.0, 1.0)
+            point = pt
+        elif kind == "cc":
+            pa0, pa1, ra = seg[ga]
+            pb0, pb1, rb = seg[gb]
+            ca, cb = _segment_closest_lanes(pa0, pa1, pb0, pb1)
+            delta = L.sub3(ca, cb)
+            dist = L.norm3(delta, eps=0.0)
+            inv = 1.0 / jnp.maximum(dist, 1e-9)
+            normal = L.scale3(delta, inv)
+            depth = (ra + rb) - dist
+            point = L.fma3(cb, normal, rb - 0.5 * jnp.maximum(depth, 0.0))
+        elif kind == "cb":
+            (which,) = extra
+            p0, p1, r = seg[ga]
+            half = _t3(scene.geom_size[gb])
+            if which == 0:
+                sp = p0
+            elif which == 1:
+                sp = p1
+            else:
+                bc = gpos[gb]
+                sp, _ = _segment_closest_lanes(p0, p1, bc, bc)
+            n_w, depth_c, surf = _point_to_box_lanes(sp, gpos[gb], gquat[gb], half)
+            normal, depth, point = n_w, depth_c + r, surf
+        elif kind == "bbA":
+            (ci,) = extra
+            half = _t3(scene.geom_size[gb])
+            n_w, depth_c, surf = _point_to_box_lanes(corners[ga][ci], gpos[gb], gquat[gb], half)
+            normal, depth, point = n_w, depth_c, surf
+        else:  # bbB
+            (ci,) = extra
+            half = _t3(scene.geom_size[ga])
+            n_w, depth_c, surf = _point_to_box_lanes(corners[gb][ci], gpos[ga], gquat[ga], half)
+            normal, depth, point = (-n_w[0], -n_w[1], -n_w[2]), depth_c, surf
+
+        kn = float(tables.kn_base[idx]) / (tau_c * tau_c)
+        kd = 2.0 * zeta * float(tables.kn_base[idx]) / tau_c
+        ba = int(scene.geom_body[tables.con_geom_a[idx]])
+        gb_idx = int(tables.con_geom_b[idx])
+        has_b = gb_idx >= 0
+        bb = int(scene.geom_body[gb_idx]) if has_b else -1
+        mu0 = float(tables.mu_base[idx])
+        fa = fric_scale[int(tables.con_geom_a[idx])]
+        fb = fric_scale[gb_idx] if has_b else fa
+        mu = mu0 * 0.5 * (fa + fb)
+
+        va = L.add3(linv[ba], L.cross3(angv[ba], L.sub3(point, pos[ba])))
+        if has_b:
+            vb = L.add3(linv[bb], L.cross3(angv[bb], L.sub3(point, pos[bb])))
+            v_rel = L.sub3(va, vb)
+        else:
+            v_rel = va
+        vn = L.dot3(v_rel, normal)
+        vt = L.sub3(v_rel, L.scale3(normal, vn))
+        vt_norm = L.norm3(vt, eps=0.0)
+        active = depth > 0.0
+        fn = jnp.where(active, jnp.maximum(kn * depth - kd * vn, 0.0), 0.0)
+        eps_v = float(scene.friction_smoothing_vel)
+        ft_s = -(mu * fn / jnp.maximum(vt_norm, eps_v))
+        force = L.fma3(L.scale3(normal, fn), vt, ft_s)
+        nO = L.cross3(point, force)
+
+        plk_n[ba] = L.add3(plk_n[ba], nO)
+        plk_f[ba] = L.add3(plk_f[ba], force)
+        net_cf[ba] = L.add3(net_cf[ba], force)
+        if has_b:
+            plk_n[bb] = L.sub3(plk_n[bb], nO)
+            plk_f[bb] = L.sub3(plk_f[bb], force)
+            net_cf[bb] = L.sub3(net_cf[bb], force)
+    return plk_n, plk_f, net_cf
+
+
+# ---------------------------------------------------------------------------
+# dynamics per actor (mirrors physics/dynamics.py in component form)
+# ---------------------------------------------------------------------------
+
+def _crm6(v, m):
+    w, vo = v[:3], v[3:]
+    cw = L.cross3(w, m[:3])
+    cv = L.add3(L.cross3(w, m[3:]), L.cross3(vo, m[:3]))
+    return (*cw, *cv)
+
+
+def _crf6(v, f):
+    w, vo = v[:3], v[3:]
+    n = L.add3(L.cross3(w, f[:3]), L.cross3(vo, f[3:]))
+    ff = L.cross3(w, f[3:])
+    return (*n, *ff)
+
+
+def _spatial_inertia(art_mass, com_w, R, I_com, mscale):
+    """6x6 nested-list spatial inertia about the world origin.
+    I_com: static 3x3 numpy; mscale: tile; R: nested tuples."""
+    m = art_mass * mscale
+    # Iw = R I R^T scaled
+    RI = [[sum(R[i][k] * float(I_com[k][j]) for k in range(3)) for j in range(3)] for i in range(3)]
+    Iw = [[sum(RI[i][k] * R[j][k] for k in range(3)) * mscale for j in range(3)] for i in range(3)]
+    cx, cy, cz = com_w
+    C = [[0.0, -cz, cy], [cz, 0.0, -cx], [-cy, cx, 0.0]]
+    # top-left: Iw + m C C^T ; top-right: m C ; bottom-left: m C^T ; br: m I
+    M6 = [[0.0] * 6 for _ in range(6)]
+    for i in range(3):
+        for j in range(3):
+            cct = sum(C[i][k] * C[j][k] for k in range(3))
+            M6[i][j] = Iw[i][j] + m * cct
+            M6[i][3 + j] = m * C[i][j]
+            M6[3 + i][j] = m * C[j][i]
+            M6[3 + i][3 + j] = m if i == j else 0.0
+    return M6
+
+
+def _mat6vec(M6, v):
+    return tuple(sum(M6[i][j] * v[j] for j in range(6)) for i in range(6))
+
+
+def dynamics_lanes(scene, masks_list, state, pos, quat, linv, angv, axis_w,
+                   plk_n, plk_f, mass_scale, dt):
+    """Implicit velocity update + integration for every dynamic actor.
+    masks_list: per-actor ActorMasks (from physics.dynamics.build_actor_masks).
+    mass_scale: list of per-body tiles (or floats). Mutates/returns new state dict."""
+    new_state = dict(state)
+    new_q = list(state["q"])
+    new_qd = list(state["qd"])
+    new_rp = list(state["root_pos"])
+    new_rq = list(state["root_quat"])
+    new_rlv = list(state["root_linvel"])
+    new_rav = list(state["root_angvel"])
+
+    for ai, art in enumerate(scene.actors):
+        if art.fixed_base and art.ndof == 0:
+            continue
+        m = masks_list[ai]
+        bo = scene.body_offset[ai]
+        do = scene.dof_offset[ai]
+        base = m.base_dofs
+        nv = m.nv
+        nb = art.nbody
+
+        # spatial inertias + composite
+        Iw = []
+        for i in range(nb):
+            g = bo + i
+            R = L.q_to_R(quat[g])
+            com_w = L.add3(pos[g], L.qrot(quat[g], _t3(art.com[i])))
+            Iw.append(_spatial_inertia(float(art.mass[i]), com_w, R, art.inertia[i], mass_scale[g]))
+        Ic = [[[Iw[i][r][c] for c in range(6)] for r in range(6)] for i in range(nb)]
+        for i in range(nb - 1, 0, -1):
+            p = int(art.parent[i])
+            for r in range(6):
+                for c in range(6):
+                    Ic[p][r][c] = Ic[p][r][c] + Ic[i][r][c]
+
+        # motion subspaces (world Plücker) per velocity coordinate
+        S = [None] * nv
+        if base:
+            for k in range(6):
+                S[k] = tuple(1.0 if i == k else 0.0 for i in range(6))
+        for i in range(nb):
+            kdof = int(art.dof_index[i])
+            if kdof < 0:
+                continue
+            g = bo + i
+            a = axis_w[g]
+            if int(art.jtype[i]) == JOINT_REVOLUTE:
+                anc = L.cross3(pos[g], a)
+                S[base + kdof] = (*a, *anc)
+            else:
+                S[base + kdof] = (0.0, 0.0, 0.0, *a)
+
+        # body Plücker velocities
+        v_b = []
+        for i in range(nb):
+            g = bo + i
+            w = angv[g]
+            vo = L.sub3(linv[g], L.cross3(w, pos[g]))
+            v_b.append((*w, *vo))
+
+        # generalized velocity
+        u = [None] * nv
+        if base:
+            for k in range(3):
+                u[k] = v_b[0][k]
+                u[3 + k] = v_b[0][3 + k]
+        for i in range(nb):
+            kdof = int(art.dof_index[i])
+            if kdof >= 0:
+                u[base + kdof] = state["qd"][do + kdof]
+
+        # bias forces (RNEA qdd=0, free-fall trick)
+        g_lin = (0.0, 0.0, 9.8) if not art.disable_gravity else (0.0, 0.0, 0.0)
+        gz = float(-scene.gravity[2])
+        g_lin = (0.0, 0.0, gz) if not art.disable_gravity else (0.0, 0.0, 0.0)
+        a_sp = [None] * nb
+        a_sp[0] = (0.0, 0.0, 0.0, *g_lin)
+        for i in range(1, nb):
+            p = int(art.parent[i])
+            ai_sp = a_sp[p]
+            kdof = int(art.dof_index[i])
+            if kdof >= 0:
+                Sqd = tuple(S[base + kdof][r] * state["qd"][do + kdof] for r in range(6))
+                c6 = _crm6(v_b[i], Sqd)
+                ai_sp = tuple(ai_sp[r] + c6[r] for r in range(6))
+            a_sp[i] = ai_sp
+        f_net = []
+        for i in range(nb):
+            g = bo + i
+            Ia = _mat6vec(Iw[i], a_sp[i])
+            Iv = _mat6vec(Iw[i], v_b[i])
+            cf = _crf6(v_b[i], Iv)
+            fx = (*plk_n[g], *plk_f[g])
+            f_net.append(tuple(Ia[r] + cf[r] - fx[r] for r in range(6)))
+        # subtree sums (reverse accumulate)
+        f_sub = [list(f) for f in f_net]
+        for i in range(nb - 1, 0, -1):
+            p = int(art.parent[i])
+            for r in range(6):
+                f_sub[p][r] = f_sub[p][r] + f_sub[i][r]
+        C = [None] * nv
+        for j in range(nv):
+            bj = int(m.dof_body[j])
+            C[j] = sum(S[j][r] * f_sub[bj][r] for r in range(6))
+
+        # mass matrix entries on ancestor pairs
+        F = [None] * nv
+        for j in range(nv):
+            bj = int(m.dof_body[j])
+            F[j] = _mat6vec(Ic[bj], S[j])
+        M = [[0.0] * nv for _ in range(nv)]
+        for i in range(nv):
+            for j in range(nv):
+                if m.ancestor[i, j]:
+                    val = sum(S[i][r] * F[j][r] for r in range(6))
+                    M[i][j] = val
+                    M[j][i] = val
+
+        # drives (same law as stacked.drive_terms_stacked)
+        tau = [0.0] * nv
+        d_imp = [0.0] * nv
+        for kdof in range(art.ndof):
+            dglob = do + kdof
+            mode = int(art.drive_mode[kdof])
+            kp = float(art.drive_kp[kdof])
+            kd = float(art.drive_kd[kdof])
+            effort = float(art.dof_effort[kdof])
+            qk = state["q"][dglob]
+            qdk = state["qd"][dglob]
+            tgt = state["dof_target"][dglob]
+            if mode == DRIVE_VELOCITY:
+                raw = kd * (tgt - qdk)
+                sat = jnp.abs(raw) > effort
+                tk = jnp.where(sat, jnp.sign(raw) * effort, kd * tgt)
+                dk = jnp.where(sat, 0.0, kd)
+            elif mode == DRIVE_POSITION:
+                tk = jnp.clip(kp * (tgt - qk), -effort, effort)
+                dk = kp * dt + kd
+            elif mode == DRIVE_EFFORT:
+                tk = jnp.clip(tgt, -effort, effort)
+                dk = kd
+            else:
+                tk, dk = 0.0, 0.0
+            dk = dk + float(art.dof_damping[kdof])
+            tk = tk - float(art.dof_friction[kdof]) * jnp.tanh(qdk / 0.02)
+            lo = float(art.dof_lower[kdof])
+            hi = float(art.dof_upper[kdof])
+            below = jnp.maximum(lo - qk, 0.0)
+            above = jnp.maximum(qk - hi, 0.0)
+            viol = (below > 0) | (above > 0)
+            tk = tk + 1.0e3 * (below - above) - jnp.where(viol, 1.0e2 * qdk, 0.0)
+            tau[base + kdof] = tk
+            d_imp[base + kdof] = dk + float(art.dof_armature[kdof])
+
+        # rhs = M u + dt (tau - C); M_solve = M + diag(dt d_imp + eps)
+        rhs = [sum(M[i][j] * u[j] for j in range(nv)) + dt * (tau[i] - C[i]) for i in range(nv)]
+        Msolve = [[M[i][j] + ((dt * d_imp[i] + 1e-8) if i == j else 0.0) for j in range(nv)] for i in range(nv)]
+        u_new = L.cholesky_solve(Msolve, rhs)
+
+        # integrate
+        if base:
+            w_new = (u_new[0], u_new[1], u_new[2])
+            v_o = (u_new[3], u_new[4], u_new[5])
+            p_r = state["root_pos"][ai]
+            v_r = L.add3(v_o, L.cross3(w_new, p_r))
+            new_rp[ai] = L.fma3(p_r, v_r, dt)
+            new_rq[ai] = L.qintegrate(state["root_quat"][ai], w_new, dt)
+            new_rlv[ai] = v_r
+            new_rav[ai] = w_new
+        for kdof in range(art.ndof):
+            dglob = do + kdof
+            qd_k = u_new[base + kdof]
+            mv = float(art.dof_maxvel[kdof])
+            qd_k = jnp.clip(qd_k, -mv, mv)
+            qk = state["q"][dglob] + dt * qd_k
+            qk = jnp.clip(qk, float(art.dof_lower[kdof]) - 1e-3, float(art.dof_upper[kdof]) + 1e-3)
+            new_q[dglob] = qk
+            new_qd[dglob] = qd_k
+
+    new_state["q"] = new_q
+    new_state["qd"] = new_qd
+    new_state["root_pos"] = new_rp
+    new_state["root_quat"] = new_rq
+    new_state["root_linvel"] = new_rlv
+    new_state["root_angvel"] = new_rav
+    return new_state
+
+
+def substep_lanes(scene, tables, masks_list, state, fric_scale, mass_scale, dt):
+    """One full substep; returns (new_state, LaneView of the pre-integration
+    snapshot with contact forces — used by cost terms after the last substep)."""
+    pos, quat, linv, angv, axis_w = fk_lanes(scene, state)
+    plk_n, plk_f, net_cf = contacts_lanes(
+        scene, tables, pos, quat, linv, angv, fric_scale, dt
+    )
+    new_state = dynamics_lanes(
+        scene, masks_list, state, pos, quat, linv, angv, axis_w,
+        plk_n, plk_f, mass_scale, dt,
+    )
+    new_state["net_cf"] = net_cf
+    return new_state
+
+
+def view_of(scene, state):
+    """LaneView of a state dict (recomputes FK for fresh body poses)."""
+    pos, quat, linv, angv, _ = fk_lanes(scene, state)
+    return LaneView(
+        scene, pos, quat, linv, angv,
+        state.get("net_cf", [(0.0, 0.0, 0.0)] * scene.nbody),
+        state["q"], state["qd"],
+        state["root_pos"], state["root_quat"], state["root_linvel"],
+    )

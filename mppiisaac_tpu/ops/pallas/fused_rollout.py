@@ -1,0 +1,239 @@
+"""Fused MPPI rollout as ONE Pallas TPU kernel.
+
+The XLA rollout (solver vmap-of-scan over the engine step) is correct but
+launch-overhead-bound on TPU: a panda_pick substep costs ~6 ms at K=1000 even
+though its arithmetic is ~10 µs — hundreds of small fusions each pay ~20 µs of
+launch overhead, ×120 substeps per command. This kernel collapses the ENTIRE
+rollout — H-step loop × substeps × full articulated physics × contacts × cost
+— into one `pallas_call`: samples live in VPU lanes ((8,128) tiles of 1024
+samples), the physics is straight-line component code (fused_physics.py), and
+the only launch is the kernel itself.
+
+Layout
+------
+* state:  (NS, 8·G, 128)  NS = 13·A root slots + q + qd + 3·B net-cf slots
+* V:      (H, nu, 8·G, 128) control perturbations
+* scales: (B, 8·G, 128) mass, (n_geom, 8·G, 128) friction (per-env DR)
+* out:    costs (H, 8·G, 128), vis (H, 3, 8·G, 128)
+grid = (G,) over sample tiles of 1024.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...physics.dynamics import build_actor_masks
+from .fused_physics import LaneView, fk_lanes, substep_lanes
+
+TILE = 1024  # samples per grid cell = 8 sublanes × 128 lanes
+
+
+class FusedRollout:
+    def __init__(
+        self,
+        built,                      # scene.builder.BuiltScene
+        engine,                     # physics.step.Engine
+        cost_fn: Callable,          # (LaneView, t:int-traced) -> (8,128) tile
+        H: int,
+        K: int,
+        vis_body: Optional[int] = None,
+        interpret: bool = False,
+    ):
+        self.built = built
+        self.engine = engine
+        self.scene = built.scene
+        self.cost_fn = cost_fn
+        self.H = H
+        self.K = K
+        self.G = -(-K // TILE)
+        self.KP = self.G * TILE
+        self.nu = built.cmd_map.nu
+        self.vis_body = vis_body
+        self.interpret = interpret
+        self.masks_list = [build_actor_masks(a) for a in self.scene.actors]
+
+        s = self.scene
+        self.A, self.D, self.B = s.nactor, s.ndof, s.nbody
+        self.NS = 13 * self.A + 2 * self.D + 3 * self.B
+        self._run = jax.jit(self._build_call())
+
+    def retrace(self):
+        self._run = jax.jit(self._build_call())
+
+    # ------------------------------------------------------------------
+    # state packing helpers (kernel side: python lists of (8,128) tiles)
+    # ------------------------------------------------------------------
+    def _unpack(self, arr):
+        A, D, B = self.A, self.D, self.B
+        st = {
+            "root_pos": [], "root_quat": [], "root_linvel": [], "root_angvel": [],
+            "q": [], "qd": [], "net_cf": [],
+        }
+        r = 0
+        for a in range(A):
+            st["root_pos"].append((arr[r], arr[r + 1], arr[r + 2]))
+            st["root_quat"].append((arr[r + 3], arr[r + 4], arr[r + 5], arr[r + 6]))
+            st["root_linvel"].append((arr[r + 7], arr[r + 8], arr[r + 9]))
+            st["root_angvel"].append((arr[r + 10], arr[r + 11], arr[r + 12]))
+            r += 13
+        for d in range(D):
+            st["q"].append(arr[r]); r += 1
+        for d in range(D):
+            st["qd"].append(arr[r]); r += 1
+        for b in range(B):
+            st["net_cf"].append((arr[r], arr[r + 1], arr[r + 2]))
+            r += 3
+        return st
+
+    def _pack(self, st):
+        rows = []
+        for a in range(self.A):
+            rows += list(st["root_pos"][a]) + list(st["root_quat"][a])
+            rows += list(st["root_linvel"][a]) + list(st["root_angvel"][a])
+        rows += list(st["q"]) + list(st["qd"])
+        ncf = st.get("net_cf", [(0.0, 0.0, 0.0)] * self.B)
+        zero = rows[0] * 0.0
+        for b in range(self.B):
+            for cmp_ in ncf[b]:
+                rows.append(cmp_ + zero if isinstance(cmp_, float) else cmp_)
+        return jnp.stack(rows)
+
+    # ------------------------------------------------------------------
+    def _kernel(self, state_ref, V_ref, mass_ref, fric_ref, cost_ref, vis_ref):
+        scene, tables = self.scene, self.engine.tables
+        dt_sub = self.engine.dt_sub
+        substeps = self.engine.substeps
+        cmdW = self.built.cmd_map.W                      # (D, nu) static
+        binarize = self.built.cmd_map.binarize_dofs
+        bval = self.built.cmd_map.binarize_value
+
+        mass_tiles = [mass_ref[b] for b in range(self.B)]
+        fric_tiles = [fric_ref[g] for g in range(self.scene.ngeom)]
+
+        def h_body(t, arr):
+            st = self._unpack(arr)
+            u = V_ref[t]                                  # (nu, 8, 128)
+            u_tiles = [u[j] for j in range(self.nu)]
+            # command map: dof_target = W @ u (+ gripper binarize)
+            tgt = []
+            for d in range(self.D):
+                acc = 0.0
+                for j in range(self.nu):
+                    w = float(cmdW[d, j])
+                    if w != 0.0:
+                        acc = acc + u_tiles[j] * w
+                if isinstance(acc, float):
+                    acc = jnp.zeros_like(u_tiles[0])
+                tgt.append(acc)
+            for dof, src in binarize:
+                tgt[dof] = jnp.where(u_tiles[src] > 0.0, bval, -bval)
+            st["dof_target"] = tgt
+
+            def sub_body(_, arr_s):
+                s2 = self._unpack(arr_s)
+                s2["dof_target"] = tgt
+                s2 = substep_lanes(
+                    scene, tables, self.masks_list, s2, fric_tiles, mass_tiles, dt_sub
+                )
+                return self._pack(s2)
+
+            arr = jax.lax.fori_loop(0, substeps, sub_body, self._pack(st))
+
+            # cost on the post-step state
+            stf = self._unpack(arr)
+            pos, quat, linv, angv, _ = fk_lanes(scene, stf)
+            view = LaneView(
+                scene, pos, quat, linv, angv, stf["net_cf"],
+                stf["q"], stf["qd"],
+                stf["root_pos"], stf["root_quat"], stf["root_linvel"],
+            )
+            cost_ref[t] = self.cost_fn(view, t)
+            if self.vis_body is not None:
+                vb = pos[self.vis_body]
+                vis_ref[t] = jnp.stack([vb[0], vb[1], vb[2]])
+            else:
+                vis_ref[t] = jnp.zeros((3, 8, 128), jnp.float32)
+            return arr
+
+        arr0 = state_ref[:]
+        jax.lax.fori_loop(0, self.H, h_body, arr0)
+
+    def _build_call(self):
+        H, nu, NS, G = self.H, self.nu, self.NS, self.G
+        B, NG = self.B, self.scene.ngeom
+
+        grid_spec = pl.GridSpec(
+            grid=(G,),
+            in_specs=[
+                pl.BlockSpec((NS, 8, 128), lambda g: (0, g, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((H, nu, 8, 128), lambda g: (0, 0, g, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((B, 8, 128), lambda g: (0, g, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((NG, 8, 128), lambda g: (0, g, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((H, 8, 128), lambda g: (0, g, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((H, 3, 8, 128), lambda g: (0, 0, g, 0), memory_space=pltpu.VMEM),
+            ),
+        )
+
+        def run(state_arr, V_arr, mass_arr, fric_arr):
+            return pl.pallas_call(
+                self._kernel,
+                grid_spec=grid_spec,
+                out_shape=(
+                    jax.ShapeDtypeStruct((H, 8 * G, 128), jnp.float32),
+                    jax.ShapeDtypeStruct((H, 3, 8 * G, 128), jnp.float32),
+                ),
+                interpret=self.interpret,
+            )(state_arr, V_arr, mass_arr, fric_arr)
+
+        return run
+
+    # ------------------------------------------------------------------
+    # host-side layout conversion
+    # ------------------------------------------------------------------
+    def _to_lanes(self, x_k):
+        """(K, ...) → (..., 8G, 128) with K padded."""
+        x = jnp.moveaxis(x_k, 0, -1)                      # (..., K)
+        pad = self.KP - self.K
+        if pad:
+            x = jnp.concatenate([x, jnp.repeat(x[..., -1:], pad, axis=-1)], axis=-1)
+        return x.reshape(x.shape[:-1] + (self.G, 8, 128)).reshape(
+            x.shape[:-1] + (8 * self.G, 128)
+        )
+
+    def _from_lanes(self, x):
+        """(..., 8G, 128) → (K, ...)."""
+        y = x.reshape(x.shape[:-2] + (self.G, 8, 128)).reshape(x.shape[:-2] + (self.KP,))
+        return jnp.moveaxis(y[..., : self.K], -1, 0)
+
+    def rollout(self, sim_state_K, params_K, V_khn):
+        """sim_state_K: SimState with leading K; params_K: ModelParams (K,·);
+        V_khn: (K, H, nu). Returns (costs (K,H), vis (H,K,3))."""
+        A, D = self.A, self.D
+        rows = jnp.concatenate(
+            [
+                sim_state_K.root_state.reshape(self.K, 13 * A),
+                sim_state_K.q,
+                sim_state_K.qd,
+                jnp.zeros((self.K, 3 * self.B), jnp.float32),
+            ],
+            axis=1,
+        )                                                  # (K, NS)
+        return self._rollout_packed(rows, params_K, V_khn)
+
+    def _rollout_packed(self, rows, params_K, V_khn):
+        state_arr = self._to_lanes(rows)                   # (NS, 8G, 128)
+        V_arr = self._to_lanes(V_khn)                      # (H, nu, 8G, 128)
+        mass_arr = self._to_lanes(params_K.body_mass_scale)
+        fric_arr = self._to_lanes(params_K.geom_friction)
+        costs_l, vis_l = self._run(state_arr, V_arr, mass_arr, fric_arr)
+        costs = self._from_lanes(costs_l)                  # (K, H)
+        vis = jnp.moveaxis(self._from_lanes(vis_l), 0, 1)  # ((K,H,3)) → fix below
+        return costs, vis

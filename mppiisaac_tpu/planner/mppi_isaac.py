@@ -34,6 +34,7 @@ class MPPIisaacPlanner:
         objective,
         prior: Optional[Callable] = None,
         randomize: bool = True,
+        use_fused: Optional[bool] = None,
     ):
         self.cfg = cfg
         self.objective = objective
@@ -81,6 +82,29 @@ class MPPIisaacPlanner:
         else:
             prior_fn = None
 
+        # fused Pallas rollout: one kernel for the whole H×substeps×physics×
+        # cost rollout — used when the objective provides a kernel cost and we
+        # are on a real accelerator (interpret mode is available for tests)
+        if use_fused is None:
+            use_fused = (
+                hasattr(objective, "kernel_cost")
+                and prior is None
+                and jax.default_backend() not in ("cpu",)
+            )
+        fused = None
+        if use_fused and hasattr(objective, "kernel_cost"):
+            from ..ops.pallas.fused_rollout import FusedRollout
+
+            fused = FusedRollout(
+                built,
+                engine,
+                cost_fn=objective.kernel_cost(built.scene),
+                H=cfg.mppi.horizon,
+                K=K,
+                vis_body=built.visualize_bodies[0] if built.visualize_bodies else None,
+                interpret=jax.default_backend() == "cpu",
+            )
+
         self.mppi = MPPIPlanner(
             cfg.mppi,
             cfg.nx,
@@ -88,6 +112,7 @@ class MPPIisaacPlanner:
             running_cost=running_cost,
             prior=prior_fn,
             vis_fn=vis_fn,
+            fused=fused,
         )
         self._last_vis = None
 
@@ -172,7 +197,10 @@ class MPPIisaacPlanner:
         return np.asarray(self._last_vis)
 
     def update_weights(self, weights):
+        """Online re-tuning RPC (reference `mppi_isaac.py:126-127`). The cost
+        closure is traced into the compiled command, so retrace."""
         self.objective.weights = weights
+        self.mppi.retrace()
 
     def update_mppi_params(self, params):
         if "noise_sigma" in params:

@@ -36,6 +36,31 @@ class PandaPickObjective(Objective):
             + w["robot_ori"] * ee_upright_cost(r[..., 3:7])
         )
 
+    def kernel_cost(self, scene):
+        """Same cost in lanes form for the fused Pallas rollout."""
+        from ..ops.pallas import lanes as L
+
+        def fn(view, t):
+            w = self.weights
+            r = view.body_pos("panda_ee", "panda")
+            rq = view.body_quat("panda_ee", "panda")
+            block = view.actor_pos("panda_pick_block")
+            goal = view.actor_pos("goal")
+            tf = view.actor_net_cf("table")
+            d_rb = L.norm3(L.sub3(r, block), eps=1e-12)
+            d_bg = L.norm3(L.sub3(block, goal), eps=1e-12)
+            forces = jnp.abs(tf[0]) + jnp.abs(tf[1]) + jnp.abs(tf[2])
+            _, p, y = L.euler_zyx(rq)
+            ori = jnp.sqrt(y * y + p * p + 1e-12)
+            return (
+                w["robot_to_block"] * d_rb
+                + w["block_to_goal"] * d_bg
+                + w["collision"] * forces
+                + w["robot_ori"] * ori
+            )
+
+        return fn
+
 
 def run(overrides=None, **kw):
     from ..utils.config_store import load_config
