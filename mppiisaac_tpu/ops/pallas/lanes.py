@@ -115,17 +115,44 @@ def q_to_R(q):
     )
 
 
+_PI = 3.14159265358979
+
+
+def atan_poly(z):
+    """Minimax atan on [-1,1] (~1e-6 rad) — Mosaic has no atan lowering."""
+    a = z * z
+    return z * (
+        0.99997726
+        + a * (-0.33262347 + a * (0.19354346 + a * (-0.11643287 + a * (0.05265332 + a * (-0.01172120)))))
+    )
+
+
+def atan2_tiles(y, x, eps=1e-12):
+    """Branch-free atan2 built from the polynomial atan."""
+    ay = jnp.abs(y)
+    ax = jnp.abs(x)
+    swap = ay > ax
+    num = jnp.where(swap, ax, ay)
+    den = jnp.maximum(jnp.where(swap, ay, ax), eps)
+    t = atan_poly(num / den)
+    t = jnp.where(swap, _PI / 2 - t, t)
+    t = jnp.where(x < 0, _PI - t, t)
+    return jnp.where(y < 0, -t, t)
+
+
 def yaw_of(q):
     x, y, z, w = q
-    return jnp.arctan2(2 * (w * z + x * y), 1 - 2 * (y * y + z * z))
+    return atan2_tiles(2 * (w * z + x * y), 1 - 2 * (y * y + z * z))
 
 
 def euler_zyx(q):
-    """(roll, pitch, yaw) mirroring math3d.quat_to_euler_zyx."""
+    """(roll, pitch, yaw) mirroring math3d.quat_to_euler_zyx; asin/atan2 are
+    expressed with the polynomial atan (no Mosaic lowering for either)."""
     x, y, z, w = q
-    roll = jnp.arctan2(2 * (w * x + y * z), 1 - 2 * (x * x + y * y))
-    pitch = jnp.arcsin(jnp.clip(2 * (w * y - z * x), -1.0, 1.0))
-    yaw = jnp.arctan2(2 * (w * z + x * y), 1 - 2 * (y * y + z * z))
+    roll = atan2_tiles(2 * (w * x + y * z), 1 - 2 * (x * x + y * y))
+    sp = jnp.clip(2 * (w * y - z * x), -1.0, 1.0)
+    pitch = atan2_tiles(sp, jnp.sqrt(jnp.maximum(1.0 - sp * sp, 1e-12)))
+    yaw = atan2_tiles(2 * (w * z + x * y), 1 - 2 * (y * y + z * z))
     return roll, pitch, yaw
 
 

@@ -1,0 +1,133 @@
+"""Prior policies biasing MPPI sampling — capability parity with the
+reference's geometric-fabrics priors (`/root/reference` `mppiisaac/priors/`:
+`fabrics_point.py:14-62`, `fabrics_panda.py:17-82`). The reference computes an
+acceleration from a casadi-backed fabrics planner and integrates it to a
+velocity command, with a NaN guard (`fabrics_point.py:56-57`); it is hooked
+into the solver as `prior(state, t) → command` (`mppi_isaac.py:38-41`).
+
+Here priors are pure JAX functions of a per-sample SimView (jit/vmap-safe, so
+they run INSIDE the rollout at zero host cost — the reference evaluates its
+prior once per step outside the GPU). Two analytic priors cover the
+reference's two families:
+
+* PointNavigationPrior — attractor + obstacle-repulsor velocity field for
+  holonomic bases (the fabrics_point capability).
+* ArmJacobianPrior — geometric-Jacobian-transpose end-effector attraction for
+  arms (the fabrics_panda capability; FK comes from the engine itself instead
+  of re-deriving it from a second URDF).
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from .observables import SimView
+
+
+def _nan_guard(u):
+    """Zero the command if anything went non-finite (reference
+    `fabrics_point.py:56-57`)."""
+    bad = ~jnp.all(jnp.isfinite(u))
+    return jnp.where(bad, jnp.zeros_like(u), u)
+
+
+class PointNavigationPrior:
+    """Velocity-field prior for planar holonomic robots (nu = 3: vx, vy, ω)."""
+
+    def __init__(
+        self,
+        robot: str = "point_robot",
+        goal_actor: str = "goal",
+        obstacle_actors: Sequence[str] = (),
+        k_attract: float = 1.0,
+        k_repel: float = 0.4,
+        influence: float = 1.0,
+        max_speed: float = 1.0,
+    ):
+        self.robot = robot
+        self.goal_actor = goal_actor
+        self.obstacles = list(obstacle_actors)
+        self.k_attract = k_attract
+        self.k_repel = k_repel
+        self.influence = influence
+        self.max_speed = max_speed
+
+    def compute_command(self, view: SimView) -> jnp.ndarray:
+        q = view.actor_q(self.robot)
+        pos = q[..., :2]
+        goal = view.actor_position(self.goal_actor)[..., :2]
+        v = self.k_attract * (goal - pos)
+        for ob in self.obstacles:
+            opos = view.actor_position(ob)[..., :2]
+            d = pos - opos
+            dist = jnp.linalg.norm(d, axis=-1, keepdims=True)
+            rep = self.k_repel * d / jnp.maximum(dist, 1e-3) ** 2
+            v = v + jnp.where(dist < self.influence, rep, 0.0)
+        speed = jnp.linalg.norm(v, axis=-1, keepdims=True)
+        v = v * jnp.minimum(1.0, self.max_speed / jnp.maximum(speed, 1e-6))
+        u = jnp.concatenate([v, jnp.zeros(v.shape[:-1] + (1,))], axis=-1)
+        return _nan_guard(u)
+
+
+class ArmJacobianPrior:
+    """Jacobian-transpose EE attraction for fixed-base arms (velocity mode).
+
+    Uses the engine's own FK (body poses in the SimView) — the reference
+    rebuilds panda FK from a separate bullet-flavored URDF
+    (`fabrics_panda.py:99-101`).
+    """
+
+    def __init__(
+        self,
+        built,                       # BuiltScene (for joint topology)
+        robot: str = "panda",
+        ee_link: str = "panda_ee_tip",
+        goal_actor: str = "goal",
+        gain: float = 2.0,
+        max_joint_vel: float = 1.0,
+        nu: Optional[int] = None,
+    ):
+        self.built = built
+        self.robot = robot
+        self.ee_link = ee_link
+        self.goal_actor = goal_actor
+        self.gain = gain
+        self.max_joint_vel = max_joint_vel
+        scene = built.scene
+        ai = scene.actor_index(robot)
+        art = scene.actors[ai]
+        # static chain info: bodies owning each dof, their local axes
+        self._art = art
+        self._bo = scene.body_offset[ai]
+        self._dof_bodies = [
+            (int(art.dof_index[i]), self._bo + i, np.asarray(art.jaxis[i]), int(art.jtype[i]))
+            for i in range(art.nbody)
+            if art.dof_index[i] >= 0
+        ]
+        self.nu = nu or art.ndof
+
+    def compute_command(self, view: SimView) -> jnp.ndarray:
+        from ..physics.math3d import quat_rotate
+
+        ee = view.link_position(self.ee_link, self.robot)
+        goal = view.actor_position(self.goal_actor)
+        f = self.gain * (goal - ee)                       # task-space force
+        taus = []
+        for k, body, axis, jtype in sorted(self._dof_bodies):
+            bq = view.state.body_quat[..., body, :]
+            bp = view.state.body_pos[..., body, :]
+            axis_w = quat_rotate(bq, jnp.asarray(axis, jnp.float32))
+            if jtype == 1:  # revolute: J column = axis × (ee − joint)
+                col = jnp.cross(axis_w, ee - bp)
+            else:           # prismatic
+                col = axis_w
+            taus.append(jnp.sum(col * f, axis=-1))
+        u = jnp.stack(taus, axis=-1)
+        u = jnp.clip(u, -self.max_joint_vel, self.max_joint_vel)
+        if self.nu > u.shape[-1]:
+            u = jnp.concatenate(
+                [u, jnp.zeros(u.shape[:-1] + (self.nu - u.shape[-1],))], axis=-1
+            )
+        return _nan_guard(u)
