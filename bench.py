@@ -20,7 +20,15 @@ REF_ENV_STEPS_PER_SEC = 300_000.0   # reference implied sustained (BASELINE.md)
 
 
 def main():
+    import os
+
     import jax
+
+    # persistent compile cache: the fused rollout kernel compiles once per
+    # machine (~1-5 min cold), then loads in seconds
+    os.makedirs("/root/repo/.jax_cache", exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
 
     from mppiisaac_tpu.planner.mppi_isaac import MPPIisaacPlanner
     from mppiisaac_tpu.tasks.panda_pick import PandaPickObjective
