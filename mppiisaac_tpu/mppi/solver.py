@@ -187,13 +187,18 @@ class MPPIPlanner:
                     st = self.dynamics(st, u_t * c.u_scale, t)
                     cost = self.running_cost(st, t)
                     vis = self.vis_fn(st) if self.vis_fn is not None else jnp.zeros((0,))
-                    return st, (cost, vis)
+                    return st, (cost, vis, u_t)
 
-                _, (costs_k, vis_k) = jax.lax.scan(body, state, (ts, V_k))
-                return costs_k, vis_k                          # (H,), (H,d)
+                _, (costs_k, vis_k, u_k) = jax.lax.scan(body, state, (ts, V_k))
+                return costs_k, vis_k, u_k                     # (H,), (H,d), (H,nu)
 
-            costs, vis = jax.vmap(rollout_one)(state0, V, roles)  # (K,H), (K,H,d)
+            costs, vis, u_seq = jax.vmap(rollout_one)(state0, V, roles)  # (K,H), ...
             vis = jnp.swapaxes(vis, 0, 1)                      # (H,K,d)
+            if use_prior:
+                # the prior sample applies closed-loop actions, not its drawn
+                # noise — the softmax update must use the ACTUAL controls or a
+                # winning prior sample drags U toward unrelated noise
+                eps_eff = u_seq - carry.U[None]
 
         # action (control-noise) cost — MPPI information-theoretic term
         if c.noise_abs_cost:
