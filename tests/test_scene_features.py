@@ -1,0 +1,83 @@
+"""Scene-level features: dynamic scene mutation (add_to_envs), multi-robot
+command mapping, domain randomization, diff-drive kinematics."""
+import numpy as np
+import pytest
+
+from mppiisaac_tpu.runtime.sim import Simulation
+from mppiisaac_tpu.scene.builder import SimConfig
+
+
+def test_add_to_envs_rebuild():
+    """Geometry change → rebuild preserving existing actor poses (reference
+    `add_to_envs` restart path, SURVEY §3.5)."""
+    sim = Simulation(SimConfig(dt=0.05, substeps=1), ["point_robot", "goal"], num_envs=2)
+    sim.apply_robot_cmd(np.array([1.0, 0, 0]))
+    for _ in range(5):
+        sim.step()
+    q_before = np.asarray(sim.state.q)
+    n_actors = sim.root_state.shape[1]
+    sim.add_to_envs([
+        {"type": "box", "name": "new_obstacle", "size": [0.2, 0.2, 0.4],
+         "init_pos": [1.5, 0.0, 0.2], "mass": 2.0}
+    ])
+    assert sim.root_state.shape[1] == n_actors + 1
+    np.testing.assert_allclose(np.asarray(sim.state.q), q_before, atol=1e-6)
+    sim.step()  # new scene steps fine
+    assert np.all(np.isfinite(np.asarray(sim.root_state)))
+
+
+def test_multi_robot_command_layout():
+    """Two point robots: nu = 6, commands route to each robot's dofs
+    (reference multi-pointbot configs, `isaacgym_wrapper.py:101-106`)."""
+    sim = Simulation(
+        SimConfig(dt=0.05, substeps=1),
+        ["point_robot", "point_robot", "goal"],
+        init_positions=[[0.0, 0.0, 0.0], [2.0, 0.0, 0.0]],
+        num_envs=1,
+    )
+    assert sim.nu == 6
+    sim.apply_robot_cmd(np.array([1.0, 0, 0, -1.0, 0, 0]))
+    for _ in range(10):
+        sim.step()
+    q = np.asarray(sim.state.q[0])
+    assert q[0] > 0.1 and q[3] < -0.1
+
+
+def test_diff_drive_ik_straight_and_turn():
+    """Boxer: (v, ω) commands → wheel speeds → chassis motion."""
+    sim = Simulation(SimConfig(dt=0.05, substeps=2), ["boxer"], num_envs=1)
+    # drive straight
+    sim.apply_robot_cmd(np.array([0.5, 0.0]))
+    for _ in range(40):
+        sim.step()
+    pos = np.asarray(sim.get_actor_position_by_name("boxer"))[0]
+    assert pos[0] > 0.35, pos          # moved forward
+    assert abs(pos[1]) < 0.12, pos     # roughly straight
+    # turn in place
+    sim2 = Simulation(SimConfig(dt=0.05, substeps=2), ["boxer"], num_envs=1)
+    sim2.apply_robot_cmd(np.array([0.0, 1.5]))
+    for _ in range(40):
+        sim2.step()
+    from mppiisaac_tpu.physics.math3d import quat_to_yaw
+    import jax.numpy as jnp
+
+    yaw = float(quat_to_yaw(sim2.get_actor_orientation_by_name("boxer")[0]))
+    pos2 = np.asarray(sim2.get_actor_position_by_name("boxer"))[0]
+    assert abs(yaw) > 0.5, yaw         # rotated
+    assert np.linalg.norm(pos2[:2]) < 0.3, pos2  # stayed near origin
+
+
+def test_domain_randomization_per_env():
+    """Per-env mass/friction noise (stronger than the reference's
+    once-per-process DR, `isaacgym_wrapper.py:450-482`)."""
+    sim = Simulation(
+        SimConfig(dt=0.05, substeps=1), ["point_robot", "block", "goal"],
+        num_envs=16, randomize=True, seed=3,
+    )
+    ms = np.asarray(sim.params.body_mass_scale)
+    block_bodies = slice(
+        sim.scene.body_offset[1], sim.scene.body_offset[1] + sim.scene.actors[1].nbody
+    )
+    assert np.std(ms[:, block_bodies]) > 0.01      # envs differ
+    fric = np.asarray(sim.params.geom_friction)
+    assert np.std(fric) > 0.01
