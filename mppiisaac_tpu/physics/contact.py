@@ -364,6 +364,8 @@ def compute_contact_forces(
 
     # static one-hot accumulation (B, n_con) @ (n_con, 6/3)
     acc = jnp.asarray(tables.acc_a - tables.acc_b, dt_)
-    f_ext = acc @ plk
-    net_cf = acc @ force
+    import jax
+
+    f_ext = jnp.matmul(acc, plk, precision=jax.lax.Precision.HIGHEST)
+    net_cf = jnp.matmul(acc, force, precision=jax.lax.Precision.HIGHEST)
     return f_ext, net_cf

@@ -45,6 +45,10 @@ from .types import ModelParams, SimState
 
 _F32 = np.float32
 
+# physics contractions must run in true f32: the TPU default matmul
+# precision is bf16, which destabilizes contact dynamics within a few substeps
+_PREC = jax.lax.Precision.HIGHEST
+
 
 @dataclass
 class StackedModel:
@@ -377,9 +381,9 @@ def generalized_velocities(m: StackedModel, state: SimState):
     w = state.root_angvel
     v_o = state.root_linvel - jnp.cross(w, state.root_pos)   # Plücker linear
     base6 = jnp.concatenate([w, v_o], -1)                     # (A,6)
-    u = jnp.asarray(m.base_pick) @ base6.reshape(-1)
+    u = jnp.matmul(jnp.asarray(m.base_pick), base6.reshape(-1), precision=_PREC)
     if m.D:
-        u = u + jnp.asarray(m.joint_pick) @ state.qd
+        u = u + jnp.matmul(jnp.asarray(m.joint_pick), state.qd, precision=_PREC)
     return u
 
 
@@ -389,10 +393,10 @@ def spatial_inertias(m: StackedModel, body_pos, body_quat, mass_scale):
     R = quat_to_matrix(body_quat)
     I_com = jnp.asarray(m.inertia, dt_) * mass_scale[:, None, None]
     c = body_pos + jnp.einsum("bij,bj->bi", R, jnp.asarray(m.com, dt_))
-    Iw_rot = jnp.einsum("bij,bjk,blk->bil", R, I_com, R)
+    Iw_rot = jnp.einsum("bij,bjk,blk->bil", R, I_com, R, precision=_PREC)
     C = _skew(c)
     mC = mass[:, None, None] * C
-    top = jnp.concatenate([Iw_rot + jnp.einsum("bij,bkj->bik", mC, C), mC], -1)
+    top = jnp.concatenate([Iw_rot + jnp.einsum("bij,bkj->bik", mC, C, precision=_PREC), mC], -1)
     bot = jnp.concatenate(
         [jnp.swapaxes(mC, -1, -2), mass[:, None, None] * jnp.eye(3, dtype=dt_)], -1
     )
@@ -454,7 +458,7 @@ def stacked_substep(
     u = generalized_velocities(m, state)
 
     anc = jnp.asarray(m.anc_dof, dt_)
-    v_b = anc @ (S * u[:, None])                      # (B,6) Plücker
+    v_b = jnp.matmul(anc, S * u[:, None], precision=_PREC)                      # (B,6) Plücker
     w_b = v_b[:, :3]
     lin_b = v_b[:, 3:] + jnp.cross(w_b, body_pos)
 
@@ -467,15 +471,15 @@ def stacked_substep(
     a0 = jnp.concatenate([jnp.zeros(3, dt_), -g])
     vj = v_b[m.dofc_body]                             # (NV,6) static gather
     cterm = _crm(vj, S * u[:, None])                  # (NV,6)
-    a_b = jnp.asarray(m.grav_mask, dt_)[:, None] * a0[None, :] + anc @ cterm
-    Iv = jnp.einsum("bij,bj->bi", Iw, v_b)
-    f_net = jnp.einsum("bij,bj->bi", Iw, a_b) + _crf(v_b, Iv) - f_ext
+    a_b = jnp.asarray(m.grav_mask, dt_)[:, None] * a0[None, :] + jnp.matmul(anc, cterm, precision=_PREC)
+    Iv = jnp.einsum("bij,bj->bi", Iw, v_b, precision=_PREC)
+    f_net = jnp.einsum("bij,bj->bi", Iw, a_b, precision=_PREC) + _crf(v_b, Iv) - f_ext
     sub = jnp.asarray(m.subtree, dt_)
-    C = jnp.einsum("vi,vi->v", S, sub @ f_net)        # (NV,)
+    C = jnp.einsum("vi,vi->v", S, jnp.matmul(sub, f_net, precision=_PREC), precision=_PREC)  # (NV,)
 
     # composite inertias at dof bodies → F = Ic S
-    Ic = jnp.einsum("vb,bij->vij", sub, Iw)           # (NV,6,6)
-    F = jnp.einsum("vij,vj->vi", Ic, S)               # (NV,6)
+    Ic = jnp.einsum("vb,bij->vij", sub, Iw, precision=_PREC)  # (NV,6,6)
+    F = jnp.einsum("vij,vj->vi", Ic, S, precision=_PREC)  # (NV,6)
 
     # drives on actuated dofs, scattered to coords
     tau_j, d_imp_j = drive_terms_stacked(
@@ -483,8 +487,8 @@ def stacked_substep(
     )
     if m.D:
         jpick = jnp.asarray(m.joint_pick)
-        tau = jpick @ tau_j
-        d_imp = jpick @ (d_imp_j + jnp.asarray(m.dof_armature, dt_))
+        tau = jnp.matmul(jpick, tau_j, precision=_PREC)
+        d_imp = jnp.matmul(jpick, d_imp_j + jnp.asarray(m.dof_armature, dt_), precision=_PREC)
     else:
         tau = jnp.zeros(m.NV, dt_)
         d_imp = jnp.zeros(m.NV, dt_)
@@ -499,7 +503,7 @@ def stacked_substep(
     ac = m.act_coords                                 # static numpy (A,nv)
     Sa = Sz[ac]                                       # (A,nv,6)
     Fa = Fz[ac]
-    Mfull = jnp.einsum("ani,ami->anm", Sa, Fa)        # (A,nv,nv): S_x · F_y
+    Mfull = jnp.einsum("ani,ami->anm", Sa, Fa, precision=_PREC)  # (A,nv,nv): S_x · F_y
     mask = jnp.asarray(m.act_anc, dt_)
     eye = jnp.eye(m.nv_max, dtype=dt_)
     Mm = Mfull * mask                                  # ancestor(-or-self) half
@@ -507,7 +511,7 @@ def stacked_substep(
     pad = jnp.asarray(m.act_pad, dt_)
 
     ua = uz[ac] * pad
-    rhs = jnp.einsum("anm,am->an", M0, ua) + dt * (tz[ac] - Cz[ac]) * pad
+    rhs = jnp.einsum("anm,am->an", M0, ua, precision=_PREC) + dt * (tz[ac] - Cz[ac]) * pad
     # implicit drive damping + padding identity on the solve matrix only
     M = M0 + eye[None] * (dt * dz[ac] + (1.0 - pad) + 1e-8)[..., None, :]
     from .linalg import solve_psd
@@ -515,7 +519,7 @@ def stacked_substep(
     u_new_a = solve_psd(M, rhs) * pad                             # (A,nv)
 
     # scatter back to (NV,) via static one-hot matmul
-    u_new = jnp.asarray(m.uscatter) @ u_new_a.reshape(-1)
+    u_new = jnp.matmul(jnp.asarray(m.uscatter), u_new_a.reshape(-1), precision=_PREC)
 
     # integrate joints
     q = state.q
@@ -567,7 +571,7 @@ def refresh_stacked(m: StackedModel, state: SimState) -> SimState:
     body_pos, body_quat, axis_w = fk_stacked(m, state.root_pos, state.root_quat, state.q)
     S = motion_subspace_stacked(m, body_pos, axis_w)
     u = generalized_velocities(m, state)
-    v_b = jnp.asarray(m.anc_dof, jnp.float32) @ (S * u[:, None])
+    v_b = jnp.matmul(jnp.asarray(m.anc_dof, jnp.float32), S * u[:, None], precision=_PREC)
     w_b = v_b[:, :3]
     lin_b = v_b[:, 3:] + jnp.cross(w_b, body_pos)
     return state._replace(

@@ -116,6 +116,18 @@ class MPPIisaacPlanner:
         )
         self._last_vis = None
 
+        # fully-jitted control step: broadcast world state K-wide + command in
+        # ONE program (per-op dispatch on this backend costs ~20µs; a dozen
+        # host-dispatched broadcasts add ~100ms otherwise)
+        def _full(carry, world_state):
+            def bc(x):
+                return jnp.broadcast_to(x[0], (K,) + x.shape[1:])
+
+            state_K = jax.tree.map(bc, world_state)
+            return self.mppi._command_impl(carry, (state_K, self._params_K))
+
+        self._full_command = jax.jit(_full)
+
     # ------------------------------------------------------------------
     @property
     def built(self):
@@ -167,8 +179,12 @@ class MPPIisaacPlanner:
 
     def compute_action_from_state(self, world_state) -> jnp.ndarray:
         self.objective.reset()
-        self.reset_rollout_from_state(world_state)
-        return self._command_from_current_state()
+        action, self.mppi.carry, info = self._full_command(self.mppi.carry, world_state)
+        self.mppi.last_info = info
+        self._last_vis = info.get("vis")
+        if self.cfg.mppi.u_per_command == 1:
+            return action[0]
+        return action
 
     def compute_action_tensor(self, dof_state_tensor, root_state_tensor) -> bytes:
         """RPC-facing entry (reference `mppi_isaac.py:107-110`)."""
@@ -201,6 +217,7 @@ class MPPIisaacPlanner:
         closure is traced into the compiled command, so retrace."""
         self.objective.weights = weights
         self.mppi.retrace()
+        self._full_command = jax.jit(self._full_command.__wrapped__)
 
     def update_mppi_params(self, params):
         if "noise_sigma" in params:

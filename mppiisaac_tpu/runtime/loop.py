@@ -61,6 +61,13 @@ def run_task(
         init_positions=cfg.initial_actor_positions,
         num_envs=1,
     )
+    # place the goal marker from cfg.goal (the reference moves it via viewer
+    # teleop; headless runs set it here; rollouts read it from world state)
+    if getattr(cfg, "goal", None) is not None and "goal" in [s_.name for s_ in world.built.specs]:
+        gp = np.zeros(3)
+        g = np.asarray(cfg.goal, dtype=np.float64).reshape(-1)
+        gp[: len(g)] = g[:3]
+        world.set_actor_position_by_name("goal", gp)
     planner = MPPIisaacPlanner(cfg, objective, prior, randomize=randomize)
     metrics = LoopMetrics()
     n = n_steps if n_steps is not None else cfg.n_steps
