@@ -325,7 +325,8 @@ def contacts_lanes(scene, tables, pos, quat, linv, angv, fric_scale, dt_sub):
         vt = L.sub3(v_rel, L.scale3(normal, vn))
         vt_norm = L.norm3(vt, eps=0.0)
         active = depth > 0.0
-        fn = jnp.where(active, jnp.maximum(kn * depth - kd * vn, 0.0), 0.0)
+        depth_cl = jnp.minimum(depth, float(scene.max_contact_depth))
+        fn = jnp.where(active, jnp.maximum(kn * depth_cl - kd * vn, 0.0), 0.0)
         eps_v = float(scene.friction_smoothing_vel)
         ft_s = -(mu * fn / jnp.maximum(vt_norm, eps_v))
         force = L.fma3(L.scale3(normal, fn), vt, ft_s)
@@ -551,6 +552,10 @@ def dynamics_lanes(scene, masks_list, state, pos, quat, linv, angv, axis_w,
             v_o = (u_new[3], u_new[4], u_new[5])
             p_r = state["root_pos"][ai]
             v_r = L.add3(v_o, L.cross3(w_new, p_r))
+            wcap = float(scene.max_root_angvel)
+            vcap = float(scene.max_root_linvel)
+            w_new = tuple(jnp.clip(c, -wcap, wcap) for c in w_new)
+            v_r = tuple(jnp.clip(c, -vcap, vcap) for c in v_r)
             new_rp[ai] = L.fma3(p_r, v_r, dt)
             new_rq[ai] = L.qintegrate(state["root_quat"][ai], w_new, dt)
             new_rlv[ai] = v_r

@@ -355,7 +355,8 @@ def compute_contact_forces(
     vt_norm = jnp.linalg.norm(vt, axis=-1)
 
     active = depth > 0.0
-    fn = jnp.where(active, jnp.maximum(kn * depth - kd * vn, 0.0), 0.0)
+    depth_c = jnp.minimum(depth, jnp.asarray(scene.max_contact_depth, dt_))
+    fn = jnp.where(active, jnp.maximum(kn * depth_c - kd * vn, 0.0), 0.0)
     eps_v = jnp.asarray(scene.friction_smoothing_vel, dt_)
     ft = -(mu * fn / jnp.maximum(vt_norm, eps_v))[..., None] * vt
     force = fn[..., None] * normal + ft                            # on body A

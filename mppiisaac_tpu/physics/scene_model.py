@@ -25,6 +25,10 @@ class SceneModel:
     contact_damping: float = 2.0e3
     friction_smoothing_vel: float = 0.05     # regularized Coulomb transition (m/s)
     contact_offset: float = 0.01
+    # stability clamps (PhysX-style max depenetration / velocity caps)
+    max_contact_depth: float = 0.04          # cap on penetration used by the force law
+    max_root_linvel: float = 50.0
+    max_root_angvel: float = 50.0
 
     # derived (filled in __post_init__)
     body_offset: List[int] = field(default_factory=list)

@@ -551,6 +551,10 @@ def stacked_substep(
         v_o = base6[:, 3:]
         p_r = root_pos[ai]
         v_r = v_o + jnp.cross(w_new, p_r)
+        # stability caps: a near-massless body in a stiff pinch can otherwise
+        # reach f32-overflow velocities (NaN cascade); PhysX clamps likewise
+        w_new = jnp.clip(w_new, -scene.max_root_angvel, scene.max_root_angvel)
+        v_r = jnp.clip(v_r, -scene.max_root_linvel, scene.max_root_linvel)
         root_pos = root_pos.at[ai].set(p_r + dt * v_r)
         root_quat = root_quat.at[ai].set(quat_integrate(root_quat[ai], w_new, dt))
         root_linvel = root_linvel.at[ai].set(v_r)
