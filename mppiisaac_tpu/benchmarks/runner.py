@@ -183,3 +183,65 @@ if __name__ == "__main__":
     rep = run_point_robot_benchmark(n_trials=n)
     rep.save("benchmarks/results/point_robot.json")
     print(json.dumps(rep.summary(), indent=2))
+
+
+def run_panda_benchmark(
+    n_trials: int = 5,
+    n_steps: int = 150,
+    seed: int = 0,
+    overrides: Optional[List[str]] = None,
+    goal_radius: float = 0.12,
+) -> BenchmarkReport:
+    """panda_arm reach benchmark (reference `benchmarks/panda_arm/`): randomized
+    reachable EE goals, metrics as in the point_robot experiment."""
+    from ..tasks.panda_reach import PandaReachObjective
+    from ..runtime.sim import Simulation
+
+    rng = np.random.RandomState(seed)
+    report = BenchmarkReport()
+    cfg = load_config("tasks/panda", list(overrides or []))
+
+    adapter = PlannerAdapter(
+        cfg, lambda c: PandaReachObjective(c, ee_link="panda_ee_tip"), randomize=False
+    )
+    dt = cfg.isaacgym.dt
+
+    for trial in range(n_trials):
+        r = rng.uniform(0.35, 0.6)
+        th = rng.uniform(-1.2, 1.2)
+        goal = np.array([r * np.cos(th), r * np.sin(th), rng.uniform(0.25, 0.7)])
+        adapter.setGoal(goal)
+        adapter.reset()
+        world = Simulation(cfg.isaacgym, cfg.actors, cfg.initial_actor_positions, num_envs=1)
+        import jax.numpy as jnp
+
+        world.set_actor_position_by_name("goal", goal)
+
+        solver_times = []
+        path_len = 0.0
+        prev_ee = None
+        success_step = None
+        for step in range(n_steps):
+            t0 = time.perf_counter()
+            action = adapter.planner.compute_action_from_state(world.state)
+            solver_times.append(time.perf_counter() - t0)
+            world.apply_robot_cmd(np.asarray(action))
+            world.step()
+            ee = np.asarray(world.view.link_position("panda_ee_tip", "panda"))[0]
+            if prev_ee is not None:
+                path_len += float(np.linalg.norm(ee - prev_ee))
+            prev_ee = ee
+            if np.linalg.norm(ee - goal) < goal_radius:
+                success_step = step
+                break
+        report.trials.append(
+            TrialResult(
+                success=success_step is not None,
+                time2goal=None if success_step is None else success_step * dt,
+                solver_time_ms=float(np.mean(solver_times) * 1e3),
+                path_length=path_len,
+                inv_clearance=0.0,
+                steps=step + 1,
+            )
+        )
+    return report

@@ -195,6 +195,7 @@ def _segment_closest_lanes(p0, p1, q0, q1, eps=1e-9):
 
 
 _BOX_CORNER_SIGNS = [(sx, sy, sz) for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)]
+from ...physics.contact import _BOX_SAMPLES, N_BOX_SAMPLES  # noqa: E402
 
 
 def contacts_lanes(scene, tables, pos, quat, linv, angv, fric_scale, dt_sub):
@@ -221,8 +222,8 @@ def contacts_lanes(scene, tables, pos, quat, linv, angv, fric_scale, dt_sub):
         if gt == GEOM_BOX:
             half = _t3(size)
             cs = []
-            for sx, sy, sz in _BOX_CORNER_SIGNS:
-                local = (sx * half[0], sy * half[1], sz * half[2])
+            for sx, sy, sz in _BOX_SAMPLES:      # 26 samples; [:8] = corners
+                local = (float(sx) * half[0], float(sy) * half[1], float(sz) * half[2])
                 cs.append(L.add3(gp, L.qrot(gqq, local)))
             corners[g] = cs
         else:
@@ -247,10 +248,10 @@ def contacts_lanes(scene, tables, pos, quat, linv, angv, fric_scale, dt_sub):
     for which in range(3):
         for ga, gb in zip(tables.cb_cap.tolist(), tables.cb_box.tolist()):
             cands.append((None, ga, gb, "cb", (which,)))
-    for ci in range(8):
+    for ci in range(N_BOX_SAMPLES):
         for ga, gb in zip(tables.bb_a.tolist(), tables.bb_b.tolist()):
             cands.append((None, ga, gb, "bbA", (ci,)))
-    for ci in range(8):
+    for ci in range(N_BOX_SAMPLES):
         for ga, gb in zip(tables.bb_a.tolist(), tables.bb_b.tolist()):
             cands.append((None, ga, gb, "bbB", (ci,)))
     assert len(cands) == tables.n_con, (len(cands), tables.n_con)
@@ -304,8 +305,6 @@ def contacts_lanes(scene, tables, pos, quat, linv, angv, fric_scale, dt_sub):
             n_w, depth_c, surf = _point_to_box_lanes(corners[gb][ci], gpos[ga], gquat[ga], half)
             normal, depth, point = (-n_w[0], -n_w[1], -n_w[2]), depth_c, surf
 
-        kn = float(tables.kn_base[idx]) / (tau_c * tau_c)
-        kd = 2.0 * zeta * float(tables.kn_base[idx]) / tau_c
         ba = int(scene.geom_body[tables.con_geom_a[idx]])
         gb_idx = int(tables.con_geom_b[idx])
         has_b = gb_idx >= 0
@@ -326,19 +325,34 @@ def contacts_lanes(scene, tables, pos, quat, linv, angv, fric_scale, dt_sub):
         vt_norm = L.norm3(vt, eps=0.0)
         active = depth > 0.0
         depth_cl = jnp.minimum(depth, float(scene.max_contact_depth))
-        fn = jnp.where(active, jnp.maximum(kn * depth_cl - kd * vn, 0.0), 0.0)
         eps_v = float(scene.friction_smoothing_vel)
-        ft_s = -(mu * fn / jnp.maximum(vt_norm, eps_v))
-        force = L.fma3(L.scale3(normal, fn), vt, ft_s)
-        nO = L.cross3(point, force)
 
-        plk_n[ba] = L.add3(plk_n[ba], nO)
-        plk_f[ba] = L.add3(plk_f[ba], force)
-        net_cf[ba] = L.add3(net_cf[ba], force)
+        def force_with(kn_base):
+            kn = kn_base / (tau_c * tau_c)
+            kd = 2.0 * zeta * kn_base / tau_c
+            fn = jnp.where(active, jnp.maximum(kn * depth_cl - kd * vn, 0.0), 0.0)
+            ft_s = -(mu * fn / jnp.maximum(vt_norm, eps_v))
+            return L.fma3(L.scale3(normal, fn), vt, ft_s)
+
+        # side-asymmetric penalty (see physics/contact.py): free bodies feel
+        # the mass-scaled stable stiffness, actuated/fixed the couple stiffness
+        kb = float(tables.kn_base[idx])
+        kb_soft = float(tables.kn_base_soft[idx])
+        a_is_free = float(tables.a_free[idx]) > 0
+        b_is_free = has_b and float(tables.b_free[idx]) > 0
+        force_a = force_with(kb_soft if a_is_free else kb)
         if has_b:
-            plk_n[bb] = L.sub3(plk_n[bb], nO)
-            plk_f[bb] = L.sub3(plk_f[bb], force)
-            net_cf[bb] = L.sub3(net_cf[bb], force)
+            force_b = force_a if (b_is_free == a_is_free) else force_with(kb_soft if b_is_free else kb)
+        nO_a = L.cross3(point, force_a)
+
+        plk_n[ba] = L.add3(plk_n[ba], nO_a)
+        plk_f[ba] = L.add3(plk_f[ba], force_a)
+        net_cf[ba] = L.add3(net_cf[ba], force_a)
+        if has_b:
+            nO_b = L.cross3(point, force_b)
+            plk_n[bb] = L.sub3(plk_n[bb], nO_b)
+            plk_f[bb] = L.sub3(plk_f[bb], force_b)
+            net_cf[bb] = L.sub3(net_cf[bb], force_b)
     return plk_n, plk_f, net_cf
 
 
@@ -518,13 +532,14 @@ def dynamics_lanes(scene, masks_list, state, pos, quat, linv, angv, axis_w,
             qdk = state["qd"][dglob]
             tgt = state["dof_target"][dglob]
             if mode == DRIVE_VELOCITY:
-                raw = kd * (tgt - qdk)
-                sat = jnp.abs(raw) > effort
-                tk = jnp.where(sat, jnp.sign(raw) * effort, kd * tgt)
-                dk = jnp.where(sat, 0.0, kd)
+                # force-limited implicit drive (see stacked.drive_terms_stacked)
+                kd_eff = jnp.minimum(kd, effort / jnp.maximum(jnp.abs(tgt - qdk), 1e-6))
+                tk = kd_eff * tgt
+                dk = kd_eff
             elif mode == DRIVE_POSITION:
-                tk = jnp.clip(kp * (tgt - qk), -effort, effort)
-                dk = kp * dt + kd
+                kp_eff = jnp.minimum(kp, effort / jnp.maximum(jnp.abs(tgt - qk), 1e-6))
+                tk = kp_eff * (tgt - qk)
+                dk = kp_eff * dt + kd
             elif mode == DRIVE_EFFORT:
                 tk = jnp.clip(tgt, -effort, effort)
                 dk = kd

@@ -50,6 +50,9 @@ class ContactTables:
     con_geom_b: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int32))  # -1 = plane
     kn_base: np.ndarray = field(default_factory=lambda: np.zeros(0))   # m_eff / n_pts
     mu_base: np.ndarray = field(default_factory=lambda: np.zeros(0))
+    kn_base_soft: np.ndarray = field(default_factory=lambda: np.zeros(0))  # mass-scaled (stable on free bodies)
+    a_free: np.ndarray = field(default_factory=lambda: np.zeros(0, np.float32))
+    b_free: np.ndarray = field(default_factory=lambda: np.zeros(0, np.float32))
     acc_a: np.ndarray = field(default_factory=lambda: np.zeros((0, 0), np.float32))  # (B, n_con) +1 one-hot
     acc_b: np.ndarray = field(default_factory=lambda: np.zeros((0, 0), np.float32))  # (B, n_con) +1 one-hot (0 for plane)
 
@@ -103,8 +106,8 @@ def build_contact_tables(scene: SceneModel) -> ContactTables:
 
     # flat candidate enumeration — ORDER MUST MATCH the runtime concatenation:
     # cp (2 endpoints, endpoint-major), bp (8 corners, corner-major),
-    # cc (1), cb (3 sample points, point-major), bb (16 corners, corner-major
-    # A-in-B then B-in-A)
+    # cc (1), cb (3 sample points, point-major), bb (2×26 box samples,
+    # sample-major, A-in-B then B-in-A)
     ga_l: List[int] = []
     gb_l: List[int] = []
     npts_l: List[float] = []
@@ -123,7 +126,7 @@ def build_contact_tables(scene: SceneModel) -> ContactTables:
     for _ in range(3):
         for a, b in zip(cb_c, cb_bx):
             emit(a, b, 2.0)
-    for _ in range(16):
+    for _ in range(2 * N_BOX_SAMPLES):
         for a, b in zip(bb_a, bb_b):
             emit(a, b, 4.0)
 
@@ -135,6 +138,24 @@ def build_contact_tables(scene: SceneModel) -> ContactTables:
         _pair_meff(scene, a, b) if b >= 0 else _body_mass_for_contact(scene, a)
         for a, b in zip(ga_l, gb_l)
     ])
+    # articulated↔free couple pairs: fixed stiffness on the ARTICULATED side
+    # (so actuators stall on light objects instead of passing through); the
+    # free side keeps the mass-scaled (stable) stiffness — its fidelity comes
+    # from the impulse pass
+    free = _free_body_mask(scene)
+    meff_soft = meff.copy()
+    tau_ref = max(2.0 * (scene.dt / max(scene.substeps, 1)), 1e-3)
+    a_free_l = np.zeros(n, np.float32)
+    b_free_l = np.zeros(n, np.float32)
+    for c, (a, b) in enumerate(zip(ga_l, gb_l)):
+        a_free_l[c] = free[scene.geom_body[a]]
+        if b >= 0:
+            b_free_l[c] = free[scene.geom_body[b]]
+        fa_ = free[scene.geom_body[a]] > 0
+        fb_ = b >= 0 and free[scene.geom_body[b]] > 0
+        if fa_ != fb_:
+            # kn = kn_base/τ² at runtime → bake τ² back in for a fixed value
+            meff[c] = scene.couple_stiffness * tau_ref * tau_ref
     mu = np.asarray([
         0.5 * (scene.geom_friction[a] + scene.geom_friction[b]) if b >= 0
         else scene.geom_friction[a]
@@ -159,7 +180,8 @@ def build_contact_tables(scene: SceneModel) -> ContactTables:
         bb_a=arr(bb_a), bb_b=arr(bb_b),
         n_con=n,
         con_geom_a=ga_arr, con_geom_b=gb_arr,
-        kn_base=meff / npts, mu_base=mu,
+        kn_base=meff / npts, kn_base_soft=meff_soft / npts, mu_base=mu,
+        a_free=a_free_l, b_free=b_free_l,
         acc_a=acc_a, acc_b=acc_b,
     )
 
@@ -232,10 +254,28 @@ _BOX_CORNERS = np.array(
     dtype=np.float32,
 )  # (8,3)
 
+# box-box sampling: corners alone miss edge-face and face-face contacts (a
+# narrow gripper finger pressing a wider block face has NO vertex inside the
+# other box); add face centers + edge midpoints → 26 sample points
+_BOX_SAMPLES = np.array(
+    [[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)]
+    + [[1, 0, 0], [-1, 0, 0], [0, 1, 0], [0, -1, 0], [0, 0, 1], [0, 0, -1]]
+    + [[0, sy, sz] for sy in (-1, 1) for sz in (-1, 1)]
+    + [[sx, 0, sz] for sx in (-1, 1) for sz in (-1, 1)]
+    + [[sx, sy, 0] for sx in (-1, 1) for sy in (-1, 1)],
+    dtype=np.float32,
+)  # (26,3)
+N_BOX_SAMPLES = len(_BOX_SAMPLES)
+
 
 def _box_corners(pos, quat, half):
     corners = jnp.asarray(_BOX_CORNERS, pos.dtype) * half[..., None, :]
     return pos[..., None, :] + quat_rotate(quat[..., None, :], corners)
+
+
+def _box_samples(pos, quat, half):
+    pts = jnp.asarray(_BOX_SAMPLES, pos.dtype) * half[..., None, :]
+    return pos[..., None, :] + quat_rotate(quat[..., None, :], pts)
 
 
 # ---------------------------------------------------------------------------
@@ -256,7 +296,7 @@ def compute_contact_forces(
     dt_ = body_pos.dtype
     nb = scene.nbody
     if tables.n_con == 0:
-        return jnp.zeros((nb, 6), dt_), jnp.zeros((nb, 3), dt_)
+        return jnp.zeros((nb, 6), dt_), jnp.zeros((nb, 3), dt_), None
     tau_c = max(2.0 * dt_sub, 1e-3)
     zeta = 1.0
 
@@ -316,15 +356,15 @@ def compute_contact_forces(
             nrms.append(n_w)
             dpths.append(depth_c + r)
 
-    # ---- box vs box (corner-major, A-in-B then B-in-A) ----
+    # ---- box vs box (sample-major, A-in-B then B-in-A) ----
     if len(tables.bb_a):
         ga, gb = tables.bb_a, tables.bb_b
-        ca = _box_corners(gp[ga], gq[ga], jnp.asarray(sizes[ga], dt_))
-        cb = _box_corners(gp[gb], gq[gb], jnp.asarray(sizes[gb], dt_))
-        for ci in range(8):
+        ca = _box_samples(gp[ga], gq[ga], jnp.asarray(sizes[ga], dt_))
+        cb = _box_samples(gp[gb], gq[gb], jnp.asarray(sizes[gb], dt_))
+        for ci in range(N_BOX_SAMPLES):
             n_w, depth_c, surf = _point_to_box(ca[..., ci, :], gp[gb], gq[gb], jnp.asarray(sizes[gb], dt_))
             pts.append(surf); nrms.append(n_w); dpths.append(depth_c)
-        for ci in range(8):
+        for ci in range(N_BOX_SAMPLES):
             n_w, depth_c, surf = _point_to_box(cb[..., ci, :], gp[ga], gq[ga], jnp.asarray(sizes[ga], dt_))
             pts.append(surf); nrms.append(-n_w); dpths.append(depth_c)
 
@@ -356,17 +396,203 @@ def compute_contact_forces(
 
     active = depth > 0.0
     depth_c = jnp.minimum(depth, jnp.asarray(scene.max_contact_depth, dt_))
-    fn = jnp.where(active, jnp.maximum(kn * depth_c - kd * vn, 0.0), 0.0)
     eps_v = jnp.asarray(scene.friction_smoothing_vel, dt_)
-    ft = -(mu * fn / jnp.maximum(vt_norm, eps_v))[..., None] * vt
-    force = fn[..., None] * normal + ft                            # on body A
 
-    plk = jnp.concatenate([jnp.cross(point, force), force], axis=-1)  # (n_con,6)
+    def force_with(kn_arr, kd_arr):
+        fn = jnp.where(active, jnp.maximum(kn_arr * depth_c - kd_arr * vn, 0.0), 0.0)
+        ft = -(mu * fn / jnp.maximum(vt_norm, eps_v))[..., None] * vt
+        return fn[..., None] * normal + ft
 
-    # static one-hot accumulation (B, n_con) @ (n_con, 6/3)
-    acc = jnp.asarray(tables.acc_a - tables.acc_b, dt_)
+    # side-asymmetric penalty: stiff (couple) stiffness felt by articulated/
+    # fixed bodies, mass-scaled (stable) stiffness felt by free bodies —
+    # free-body fidelity comes from the impulse pass layered on top
+    kn_soft = jnp.asarray(tables.kn_base_soft / (tau_c * tau_c), dt_)
+    kd_soft = 2.0 * zeta * jnp.asarray(tables.kn_base_soft / tau_c, dt_)
+    force_stiff = force_with(kn, kd)
+    force_soft = force_with(kn_soft, kd_soft)
+    af = jnp.asarray(tables.a_free, dt_)[:, None]
+    bf = jnp.asarray(tables.b_free, dt_)[:, None]
+    force_a = jnp.where(af > 0, force_soft, force_stiff)
+    force_b = jnp.where(bf > 0, force_soft, force_stiff)
+    plk_a = jnp.concatenate([jnp.cross(point, force_a), force_a], axis=-1)
+    plk_b = jnp.concatenate([jnp.cross(point, force_b), force_b], axis=-1)
+
     import jax
 
-    f_ext = jnp.matmul(acc, plk, precision=jax.lax.Precision.HIGHEST)
-    net_cf = jnp.matmul(acc, force, precision=jax.lax.Precision.HIGHEST)
-    return f_ext, net_cf
+    P = jax.lax.Precision.HIGHEST
+    f_ext = jnp.matmul(jnp.asarray(tables.acc_a, dt_), plk_a, precision=P) - jnp.matmul(
+        jnp.asarray(tables.acc_b, dt_), plk_b, precision=P
+    )
+    net_cf = jnp.matmul(jnp.asarray(tables.acc_a, dt_), force_a, precision=P) - jnp.matmul(
+        jnp.asarray(tables.acc_b, dt_), force_b, precision=P
+    )
+    contact_geom = {"point": point, "normal": normal, "depth": depth, "mu": mu}
+    return f_ext, net_cf, contact_geom
+
+
+# ---------------------------------------------------------------------------
+# impulse pass for free rigid bodies
+# ---------------------------------------------------------------------------
+
+def _free_body_mask(scene: SceneModel) -> np.ndarray:
+    """(B,) 1.0 where the body is a free single-rigid-body actor."""
+    mask = np.zeros(scene.nbody, np.float32)
+    for ai, a in enumerate(scene.actors):
+        if a.ndof == 0 and not a.fixed_base:
+            mask[scene.body_offset[ai]] = 1.0
+    return mask
+
+
+def impulse_contact_pass(
+    scene: SceneModel,
+    tables: ContactTables,
+    contact_geom,
+    body_pos,
+    body_quat,
+    body_linvel,        # (B,3) POST-solve velocities (articulated: this substep)
+    body_angvel,
+    mass_scale,         # (B,) DR multipliers
+    dt: float,
+    iters: int = 16,
+    beta: float = 0.2,
+    slop: float = 2e-3,
+):
+    """Velocity-impulse contact resolution for FREE rigid bodies.
+
+    The compliant penalty law scales stiffness with effective mass, which is
+    correct for settling but cannot resist actuation: a 70 N gripper drive
+    crushes through a 1-gram block whose pair stiffness is ~0.4 N/m (the
+    reference's PhysX solves contacts as constraints and has no such limit —
+    grasping depends on it). This pass treats contacts of free single-rigid
+    bodies as velocity-level constraints: Jacobi-relaxed projected impulses
+    with Baumgarte stabilization and a friction cone — unconditionally stable
+    and mass-independent. Articulated/fixed bodies act kinematically here (their
+    reaction comes from the penalty law).
+
+    Returns (new_linvel (B,3), new_angvel (B,3), net_cf_free (B,3)).
+    """
+    if contact_geom is None or tables.n_con == 0:
+        return body_linvel, body_angvel, jnp.zeros_like(body_pos)
+    dt_ = body_pos.dtype
+    B = scene.nbody
+    free = _free_body_mask(scene)
+    ba = scene.geom_body[tables.con_geom_a]                   # static (n,)
+    fb_idx = np.where(tables.con_geom_b >= 0, tables.con_geom_b, tables.con_geom_a)
+    bb = scene.geom_body[fb_idx]
+    has_b = (tables.con_geom_b >= 0).astype(np.float32)
+    a_free = free[ba]                                         # static (n,)
+    b_free = free[bb] * has_b
+    touched = (a_free + b_free) > 0
+    if not touched.any():
+        return body_linvel, body_angvel, jnp.zeros_like(body_pos)
+
+    point = contact_geom["point"]
+    normal = contact_geom["normal"]
+    depth = jnp.minimum(contact_geom["depth"], scene.max_contact_depth)
+    mu = contact_geom["mu"]
+    active = (depth > 0.0) & jnp.asarray(touched)
+
+    # inverse mass / world inverse inertia per body (free bodies only)
+    inv_m = np.zeros(B, np.float32)
+    I_loc = np.zeros((B, 3, 3), np.float32)
+    for ai, a in enumerate(scene.actors):
+        if a.ndof == 0 and not a.fixed_base:
+            b = scene.body_offset[ai]
+            inv_m[b] = 1.0 / max(float(a.mass[0]), 1e-6)
+            I_loc[b] = np.linalg.inv(a.inertia[0] + np.eye(3) * 1e-9)
+    inv_m_t = jnp.asarray(inv_m) / jnp.maximum(mass_scale, 1e-6)
+    from .math3d import quat_to_matrix
+
+    R = quat_to_matrix(body_quat)
+    inv_I_w = jnp.einsum(
+        "bij,bjk,blk->bil", R, jnp.asarray(I_loc), R,
+        precision=jax.lax.Precision.HIGHEST,
+    ) / jnp.maximum(mass_scale, 1e-6)[:, None, None]
+
+    r_a = point - body_pos[ba]
+    r_b = point - body_pos[bb]
+    amask = jnp.asarray(a_free, dt_)
+    bmask = jnp.asarray(b_free, dt_)
+
+    def k_dir(d):
+        """effective inverse mass along direction d (n,3)."""
+        ka = inv_m_t[ba] + jnp.einsum(
+            "ni,nij,nj->n", jnp.cross(r_a, d), inv_I_w[ba], jnp.cross(r_a, d)
+        )
+        kb = inv_m_t[bb] + jnp.einsum(
+            "ni,nij,nj->n", jnp.cross(r_b, d), inv_I_w[bb], jnp.cross(r_b, d)
+        )
+        return amask * ka + bmask * kb
+
+    k_n = jnp.maximum(k_dir(normal), 1e-9)
+    target = beta * jnp.maximum(depth - slop, 0.0) / dt
+
+    # one-hot accumulators (B, n) for velocity updates
+    A_a = jnp.asarray(tables.acc_a * a_free[None, :].astype(np.float32), dt_) if False else jnp.asarray(tables.acc_a, dt_) * jnp.asarray(a_free, dt_)[None, :]
+    A_b = jnp.asarray(tables.acc_b, dt_) * jnp.asarray(b_free, dt_)[None, :]
+
+    lin = body_linvel
+    ang = body_angvel
+    lam_n = jnp.zeros(tables.n_con, dt_)
+    lam_t = jnp.zeros((tables.n_con, 3), dt_)
+    # mass-splitting Jacobi: scale each contact's effective mass by the number
+    # of active contacts on its body, then relax ≈ 1 — converges like
+    # Gauss–Seidel on symmetric manifolds (plain Jacobi diverges or crawls on
+    # 4/8-corner stacks)
+    relax = 0.9
+    A_a_bin = jnp.asarray(tables.acc_a, dt_)
+    A_b_bin = jnp.asarray(tables.acc_b, dt_)
+
+    for _ in range(iters):
+        va = lin[ba] + jnp.cross(ang[ba], r_a)
+        vb = lin[bb] + jnp.cross(ang[bb], r_b)
+        v_rel = va - vb * jnp.asarray(has_b, dt_)[:, None]
+        vn = jnp.sum(v_rel * normal, -1)
+        act_f = active.astype(dt_)
+        count = jnp.matmul(A_a_bin, act_f, precision=jax.lax.Precision.HIGHEST) + jnp.matmul(
+            A_b_bin, act_f, precision=jax.lax.Precision.HIGHEST
+        )
+        n_eff = jnp.maximum(amask * count[ba] + bmask * count[bb], 1.0)
+        d_lam = jnp.where(active, -(vn - target) / (k_n * n_eff) * relax, 0.0)
+        new_lam = jnp.maximum(lam_n + d_lam, 0.0)
+        d_imp = new_lam - lam_n
+        lam_n = new_lam
+        imp = normal * d_imp[:, None]
+        # friction: tangential impulse, cone-projected against λ_n
+        vt = v_rel - vn[:, None] * normal
+        k_t = jnp.maximum(k_dir(vt / jnp.maximum(jnp.linalg.norm(vt, axis=-1, keepdims=True), 1e-9)), 1e-9)
+        jt = jnp.where(active[:, None], -vt / (k_t * n_eff)[:, None] * relax, 0.0)
+        lam_t_new = lam_t + jt
+        lt_norm = jnp.linalg.norm(lam_t_new, axis=-1)
+        cap = mu * lam_n
+        scale = jnp.minimum(1.0, cap / jnp.maximum(lt_norm, 1e-9))
+        lam_t_new = lam_t_new * scale[:, None]
+        jt = lam_t_new - lam_t
+        lam_t = lam_t_new
+        imp = imp + jt
+
+        # apply to free bodies (A gets +imp, B gets −imp)
+        dlin = (
+            jnp.matmul(A_a, imp, precision=jax.lax.Precision.HIGHEST)
+            - jnp.matmul(A_b, imp, precision=jax.lax.Precision.HIGHEST)
+        ) * inv_m_t[:, None]
+        tor_a = jnp.cross(r_a, imp)
+        tor_b = jnp.cross(r_b, -imp)
+        dang_t = (
+            jnp.matmul(A_a, tor_a, precision=jax.lax.Precision.HIGHEST)
+            + jnp.matmul(A_b, tor_b, precision=jax.lax.Precision.HIGHEST)
+        )
+        dang = jnp.einsum("bij,bj->bi", inv_I_w, dang_t)
+        lin = lin + dlin
+        ang = ang + dang
+
+    net_cf_free = (
+        jnp.matmul(jnp.asarray(tables.acc_a, dt_) * jnp.asarray(a_free, dt_)[None, :],
+                   normal * lam_n[:, None] + lam_t, precision=jax.lax.Precision.HIGHEST)
+        - jnp.matmul(jnp.asarray(tables.acc_b, dt_) * jnp.asarray(b_free, dt_)[None, :],
+                     normal * lam_n[:, None] + lam_t, precision=jax.lax.Precision.HIGHEST)
+    ) / dt
+    return lin, ang, net_cf_free
+
+
+import jax  # noqa: E402

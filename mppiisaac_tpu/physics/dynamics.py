@@ -234,16 +234,15 @@ def drive_terms(art: Articulation, q, qd, dof_target, dt):
     kd = jnp.asarray(art.drive_kd, q.dtype)
     effort = jnp.asarray(art.dof_effort, q.dtype)
 
-    # velocity drive: τ = kd (v* − qd_next)
-    vel_raw = kd * (dof_target - qd)
-    vel_sat = jnp.abs(vel_raw) > effort
-    vel_tau = jnp.where(vel_sat, jnp.sign(vel_raw) * effort, kd * dof_target)
-    vel_d = jnp.where(vel_sat, 0.0, kd)
+    # force-limited implicit velocity drive: kd_eff = min(kd, F/|Δv|)
+    kd_eff = jnp.minimum(kd, effort / jnp.maximum(jnp.abs(dof_target - qd), 1e-6))
+    vel_tau = kd_eff * dof_target
+    vel_d = kd_eff
 
-    # position drive: τ = kp (q* − q − dt qd_next)  (kd = 0 in reference cfg)
-    pos_raw = kp * (dof_target - q)
-    pos_tau = jnp.clip(pos_raw, -effort, effort)
-    pos_d = kp * dt + kd
+    # position drive, same treatment
+    kp_eff = jnp.minimum(kp, effort / jnp.maximum(jnp.abs(dof_target - q), 1e-6))
+    pos_tau = kp_eff * (dof_target - q)
+    pos_d = kp_eff * dt + kd
 
     # effort drive: τ = u − kd qd_next (passive damping 10, implicit)
     eff_tau = jnp.clip(dof_target, -effort, effort)

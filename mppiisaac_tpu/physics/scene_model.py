@@ -29,6 +29,10 @@ class SceneModel:
     max_contact_depth: float = 0.04          # cap on penetration used by the force law
     max_root_linvel: float = 50.0
     max_root_angvel: float = 50.0
+    # articulated↔free coupling stiffness: the penalty on the ARTICULATED side
+    # of a pair whose free side is impulse-solved. Fixed (not mass-scaled) so
+    # strong actuators feel light objects — a gripper must stall on a block
+    couple_stiffness: float = 1.0e4
 
     # derived (filled in __post_init__)
     body_offset: List[int] = field(default_factory=list)

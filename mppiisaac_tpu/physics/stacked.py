@@ -410,13 +410,17 @@ def drive_terms_stacked(m: StackedModel, q, qd, dof_target, dt):
     kd = jnp.asarray(m.drive_kd, dt_)
     effort = jnp.asarray(m.dof_effort, dt_)
 
-    vel_raw = kd * (dof_target - qd)
-    vel_sat = jnp.abs(vel_raw) > effort
-    vel_tau = jnp.where(vel_sat, jnp.sign(vel_raw) * effort, kd * dof_target)
-    vel_d = jnp.where(vel_sat, 0.0, kd)
+    # force-limited IMPLICIT velocity drive: an explicit clamped torque on a
+    # low-inertia joint bang-bangs at ±max-velocity (τ flips sign every
+    # substep); scaling the gain so the implicit torque respects the limit
+    # keeps the drive unconditionally stable: kd_eff = min(kd, F/|Δv|)
+    kd_eff = jnp.minimum(kd, effort / jnp.maximum(jnp.abs(dof_target - qd), 1e-6))
+    vel_tau = kd_eff * dof_target
+    vel_d = kd_eff
 
-    pos_tau = jnp.clip(kp * (dof_target - q), -effort, effort)
-    pos_d = kp * dt + kd
+    kp_eff = jnp.minimum(kp, effort / jnp.maximum(jnp.abs(dof_target - q), 1e-6))
+    pos_tau = kp_eff * (dof_target - q)
+    pos_d = kp_eff * dt + kd
 
     eff_tau = jnp.clip(dof_target, -effort, effort)
 
@@ -448,6 +452,7 @@ def stacked_substep(
     params: ModelParams,
     dt: float,
     contact_fn,
+    tables=None,
 ):
     """One semi-implicit substep for the whole scene. contact_fn(body_pos,
     body_quat, body_linvel, body_angvel, geom_friction) → (f_ext (B,6), net_cf)."""
@@ -462,7 +467,7 @@ def stacked_substep(
     w_b = v_b[:, :3]
     lin_b = v_b[:, 3:] + jnp.cross(w_b, body_pos)
 
-    f_ext, net_cf = contact_fn(body_pos, body_quat, lin_b, w_b, params.geom_friction)
+    f_ext, net_cf, cgeom = contact_fn(body_pos, body_quat, lin_b, w_b, params.geom_friction)
 
     Iw = spatial_inertias(m, body_pos, body_quat, params.body_mass_scale)
 
@@ -555,10 +560,35 @@ def stacked_substep(
         # reach f32-overflow velocities (NaN cascade); PhysX clamps likewise
         w_new = jnp.clip(w_new, -scene.max_root_angvel, scene.max_root_angvel)
         v_r = jnp.clip(v_r, -scene.max_root_linvel, scene.max_root_linvel)
-        root_pos = root_pos.at[ai].set(p_r + dt * v_r)
-        root_quat = root_quat.at[ai].set(quat_integrate(root_quat[ai], w_new, dt))
         root_linvel = root_linvel.at[ai].set(v_r)
         root_angvel = root_angvel.at[ai].set(w_new)
+
+        # constraint-impulse resolution for FREE rigid bodies (grasping/
+        # stacking fidelity — see contact.impulse_contact_pass). Kinematic
+        # sides use this substep's pre-solve FK velocities; free rows carry
+        # their freshly solved velocities.
+        from .contact import _free_body_mask, impulse_contact_pass
+
+        free_rows = _free_body_mask(scene)
+        if tables is not None and cgeom is not None and free_rows.any():
+            rows = np.where(free_rows > 0)[0]
+            b_act = scene.body_actor[rows]
+            lin_all = lin_b.at[rows].set(root_linvel[b_act])
+            ang_all = w_b.at[rows].set(root_angvel[b_act])
+            lin2, ang2, ncf_free = impulse_contact_pass(
+                scene, tables, cgeom,
+                body_pos, body_quat, lin_all, ang_all,
+                params.body_mass_scale, dt,
+            )
+            root_linvel = root_linvel.at[b_act].set(lin2[rows])
+            root_angvel = root_angvel.at[b_act].set(ang2[rows])
+            net_cf = net_cf + ncf_free
+            v_r2 = root_linvel[ai]
+            w_new2 = root_angvel[ai]
+        else:
+            v_r2, w_new2 = v_r, w_new
+        root_pos = root_pos.at[ai].set(p_r + dt * v_r2)
+        root_quat = root_quat.at[ai].set(quat_integrate(root_quat[ai], w_new2, dt))
 
     return state._replace(
         root_pos=root_pos,

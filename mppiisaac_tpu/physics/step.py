@@ -25,7 +25,11 @@ from .types import ModelParams, SimState
 class Engine:
     """Holds static scene data. All methods are pure functions of their inputs."""
 
-    def __init__(self, scene: SceneModel):
+    def __init__(self, scene: SceneModel, use_impulse: bool = True):
+        # use_impulse: layer the free-body impulse pass over the penalty model
+        # (world-fidelity). The fused Pallas rollout uses the penalty-only
+        # model; set False to get an engine matching it exactly (tests).
+        self.use_impulse = use_impulse
         self.scene = scene
         self.stacked = build_stacked(scene)
         self.tables = build_contact_tables(scene)
@@ -90,8 +94,15 @@ class Engine:
             params = self.default_params()
         contact_fn = self._contact_fn(self.dt_sub)
 
+        tables = self.tables if self.use_impulse else None
+
         def body(st, _):
-            return stacked_substep(self.stacked, st, params, self.dt_sub, contact_fn), None
+            return (
+                stacked_substep(
+                    self.stacked, st, params, self.dt_sub, contact_fn, tables
+                ),
+                None,
+            )
 
         state, _ = jax.lax.scan(body, state, None, length=self.substeps)
         return self.refresh(state)

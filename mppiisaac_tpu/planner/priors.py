@@ -98,33 +98,43 @@ class ArmJacobianPrior:
         scene = built.scene
         ai = scene.actor_index(robot)
         art = scene.actors[ai]
-        # static chain info: bodies owning each dof, their local axes
+        # static chain info: bodies owning each dof, their local axes.
+        # gripper/finger dofs are excluded — the prior steers the arm only
         self._art = art
         self._bo = scene.body_offset[ai]
         self._dof_bodies = [
             (int(art.dof_index[i]), self._bo + i, np.asarray(art.jaxis[i]), int(art.jtype[i]))
             for i in range(art.nbody)
             if art.dof_index[i] >= 0
+            and "finger" not in art.dof_names[int(art.dof_index[i])]
         ]
-        self.nu = nu or art.ndof
+        self.nu = nu or len(self._dof_bodies)
 
-    def compute_command(self, view: SimView) -> jnp.ndarray:
+    def _jacobian(self, view: SimView):
         from ..physics.math3d import quat_rotate
 
         ee = view.link_position(self.ee_link, self.robot)
-        goal = view.actor_position(self.goal_actor)
-        f = self.gain * (goal - ee)                       # task-space force
-        taus = []
+        cols = []
         for k, body, axis, jtype in sorted(self._dof_bodies):
             bq = view.state.body_quat[..., body, :]
             bp = view.state.body_pos[..., body, :]
             axis_w = quat_rotate(bq, jnp.asarray(axis, jnp.float32))
             if jtype == 1:  # revolute: J column = axis × (ee − joint)
-                col = jnp.cross(axis_w, ee - bp)
+                cols.append(jnp.cross(axis_w, ee - bp))
             else:           # prismatic
-                col = axis_w
-            taus.append(jnp.sum(col * f, axis=-1))
-        u = jnp.stack(taus, axis=-1)
+                cols.append(axis_w)
+        return ee, jnp.stack(cols, axis=-1)               # (...,3,n)
+
+    def compute_command(self, view: SimView) -> jnp.ndarray:
+        ee, J = self._jacobian(view)
+        goal = view.actor_position(self.goal_actor)
+        v_des = self.gain * (goal - ee)                   # task-space velocity
+        # damped least squares: qdot = Jᵀ (J Jᵀ + λ²I)⁻¹ v — tracks through
+        # near-singular configurations where plain Jᵀ stalls
+        lam2 = 0.01
+        JJt = jnp.einsum("...ik,...jk->...ij", J, J) + lam2 * jnp.eye(3)
+        y = jnp.linalg.solve(JJt, v_des[..., None])[..., 0]
+        u = jnp.einsum("...ik,...i->...k", J, y)
         u = jnp.clip(u, -self.max_joint_vel, self.max_joint_vel)
         if self.nu > u.shape[-1]:
             u = jnp.concatenate(

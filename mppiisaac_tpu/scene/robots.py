@@ -283,7 +283,7 @@ def panda(variant: str = "bare", prefix: str = "panda") -> str:
             u.joint(f"{prefix}_finger_joint{fi}", "prismatic",
                     f"{prefix}_hand", f"{prefix}_finger{fi}",
                     xyz=(0, sy * 0.0, 0.0584), axis=(0, sy, 0),
-                    lower=0.0, upper=0.04, effort=70, velocity=0.2)
+                    lower=0.0, upper=0.04, effort=20, velocity=0.2)
         u.link(f"{prefix}_ee", mass=0.001)
         u.joint(f"{prefix}_ee_joint", "fixed", f"{prefix}_hand", f"{prefix}_ee",
                 xyz=(0, 0, 0.1034))
@@ -311,7 +311,7 @@ def omni_panda() -> str:
                geoms=[("box", (0.022, 0.012, 0.05), (0, 0, 0.028), (0, 0, 0))])
         u.joint(f"panda_finger_joint{fi}", "prismatic", "panda_hand", f"panda_finger{fi}",
                 xyz=(0, 0, 0.0584), axis=(0, sy, 0),
-                lower=0.0, upper=0.04, effort=70, velocity=0.2)
+                lower=0.0, upper=0.04, effort=20, velocity=0.2)
     u.link("panda_ee_tip", mass=0.001)
     u.joint("panda_ee_tip_joint", "fixed", "panda_hand", "panda_ee_tip", xyz=(0, 0, 0.1034))
     return u.xml()

@@ -52,13 +52,19 @@ class TinyObjective(Objective):
 def setup():
     specs = [
         ActorSpec(type="robot", name="point_robot", urdf_file="point_robot", fixed=True),
-        ActorSpec(type="box", name="block", size=[0.3, 0.3, 0.3], mass=1.0,
+        # sphere block keeps the interpret-mode candidate count small (a
+        # box-box pair alone adds 104 manifold samples → minutes of interpret
+        # compile); bb equivalence is covered by the physics-path tests
+        ActorSpec(type="sphere", name="block", size=[0.15], mass=1.0,
                   init_pos=[0.8, 0.0, 0.2], friction=0.6),
         ActorSpec(type="sphere", name="goal", size=[0.1], fixed=True,
                   collision=False, gravity=False, init_pos=[2.0, 2.0, 0.5]),
     ]
     built = build_scene(specs, SimConfig(dt=0.05, substeps=2))
-    engine = Engine(built.scene)
+    # use_impulse=False: the fused kernel implements the penalty-only model;
+    # the world engine layers the free-body impulse pass on top (documented
+    # planner-model/world fidelity gap)
+    engine = Engine(built.scene, use_impulse=False)
     return built, engine
 
 
