@@ -30,9 +30,14 @@ def make_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
 
 
 def shard_batched_state(state, mesh: Mesh):
-    """Place a K-leading batched pytree with its K axis sharded over the mesh."""
+    """Place a K-leading batched pytree with its K axis sharded over the mesh.
+
+    Arrays are materialized first: lazily-broadcast inputs otherwise keep a
+    replicated XLA sharding that shard_map's in_specs check rejects."""
     sharding = NamedSharding(mesh, P("k"))
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), state)
+    return jax.tree.map(
+        lambda x: jax.device_put(jnp.array(x, copy=True), sharding), state
+    )
 
 
 def sharded_command(planner_mppi, mesh: Mesh):
@@ -81,8 +86,14 @@ def sharded_command(planner_mppi, mesh: Mesh):
         new_carry = new_carry._replace(key=carry.key)  # keep key in sync
         return action, new_carry, {"costs": info["costs"], "vis": info["vis"]}
 
+    repl = NamedSharding(mesh, P())
+    # under jit, shard_map inputs are resharded to in_specs automatically
+    # (called eagerly it asserts on any sharding mismatch instead)
+    cmd_jit = jax.jit(cmd)
+
     def run(carry, state0_sharded):
-        action, new_carry, info = cmd(carry, state0_sharded)
+        carry = jax.tree.map(lambda x: jax.device_put(x, repl), carry)
+        action, new_carry, info = cmd_jit(carry, state0_sharded)
         # advance the key once globally
         new_key, _ = jax.random.split(carry.key)
         return action, new_carry._replace(key=new_key), info

@@ -22,6 +22,22 @@ class AlbertObjective(Objective):
         ] * ee_upright_cost(r[..., 3:7])
 
 
+    def kernel_cost(self, scene):
+        from ..ops.pallas import lanes as L
+
+        def fn(view, t):
+            w = self.weights
+            r = view.body_pos("mmrobot_link7", "albert")
+            rq = view.body_quat("mmrobot_link7", "albert")
+            goal = view.actor_pos("goal")
+            _, p, y = L.euler_zyx(rq)
+            return w["robot_to_goal"] * L.norm3(L.sub3(r, goal), eps=1e-12) + w[
+                "robot_ori"
+            ] * jnp.sqrt(y * y + p * p + 1e-12)
+
+        return fn
+
+
 def run(overrides=None, **kw):
     from ..utils.config_store import load_config
     from ..runtime.loop import run_task

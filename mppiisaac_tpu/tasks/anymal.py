@@ -42,6 +42,32 @@ class AnymalObjective(Objective):
         )
 
 
+    def kernel_cost(self, scene):
+        from ..ops.pallas import lanes as L
+
+        bh, kh = float(self.body_height), float(self.knee_height)
+
+        def fn(view, t):
+            w = self.weights
+            body = view.body_pos("base", "anymal")
+            goal = view.actor_pos("goal")
+            front = view.body_pos("face_front", "anymal")
+            rear = view.body_pos("face_rear", "anymal")
+            body_off = (
+                jnp.abs(body[2] - bh) + jnp.abs(front[2] - bh) + jnp.abs(rear[2] - bh)
+            )
+            knees = 0.0
+            for leg in ("LF", "RF", "LH", "RH"):
+                knees = knees + jnp.abs(view.body_pos(f"{leg}_KFE", "anymal")[2] - kh)
+            return (
+                w["robot_to_goal"] * L.norm3(L.sub3(body, goal), eps=1e-12)
+                + w["robot_off_ground"] * body_off
+                + w["knees_off_ground"] * knees
+            )
+
+        return fn
+
+
 def run(overrides=None, **kw):
     from ..utils.config_store import load_config
     from ..runtime.loop import run_task

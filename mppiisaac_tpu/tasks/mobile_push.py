@@ -50,6 +50,42 @@ class MobilePushObjective(Objective):
         )
 
 
+    def kernel_cost(self, scene):
+        from ..ops.pallas import lanes as L
+
+        gx, gy = float(self.goal[0]), float(self.goal[1])
+        robot, ee_link = self.robot, self.ee_link
+        gyaw = float(self.goal_yaw)
+
+        def fn(view, t):
+            w = self.weights
+            r = view.body_pos(ee_link, robot)
+            block = view.actor_pos("block")
+            bq = view.actor_quat("block")
+            bv = view.actor_linvel("block")
+            rbx, rby = r[0] - block[0], r[1] - block[1]
+            bgx, bgy = gx - block[0], gy - block[1]
+            d_rb = jnp.sqrt(rbx * rbx + rby * rby + 1e-12)
+            d_bg = jnp.sqrt(bgx * bgx + bgy * bgy + 1e-12)
+            yaw = L.yaw_of(bq)
+            align = (rbx * bgx + rby * bgy) / jnp.maximum(d_rb * d_bg, 1e-6) + 1.0
+            coll = 0.0
+            for ob in ("obst1", "obst2"):
+                f = view.actor_net_cf(ob)
+                coll = coll + jnp.abs(f[0]) + jnp.abs(f[1])
+            vel = jnp.sqrt(bv[0] * bv[0] + bv[1] * bv[1] + 1e-12)
+            return (
+                w["robot_to_block"] * d_rb
+                + w["block_to_goal"] * d_bg
+                + w["block_to_goal_ort"] * jnp.abs(yaw - gyaw)
+                + w["push_align"] * align
+                + w["collision"] * coll
+                + w["velocity"] * vel
+            )
+
+        return fn
+
+
 def run(robot="heijn", overrides=None, **kw):
     from ..utils.config_store import load_config
     from ..runtime.loop import run_task

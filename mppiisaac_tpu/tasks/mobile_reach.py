@@ -29,6 +29,28 @@ class MobileReachObjective(Objective):
         return self.weights["goal"] * dist + self.weights["collision"] * wall_f
 
 
+    def kernel_cost(self, scene):
+        from ..ops.pallas import lanes as L
+
+        gx, gy = float(self.goal[0]), float(self.goal[1])
+        robot = self.robot
+
+        def fn(view, t):
+            w = self.weights
+            if robot == "heijn":
+                q = view.actor_q("heijn")
+                dx, dy = q[0] - gx, q[1] - gy
+            else:
+                p = view.actor_pos(robot)
+                dx, dy = p[0] - gx, p[1] - gy
+            dist = jnp.sqrt(dx * dx + dy * dy + 1e-12)
+            wf = view.actor_net_cf("wall")
+            coll = jnp.abs(wf[0]) + jnp.abs(wf[1])
+            return w["goal"] * dist + w["collision"] * coll
+
+        return fn
+
+
 def run(robot="boxer", overrides=None, **kw):
     from ..utils.config_store import load_config
     from ..runtime.loop import run_task

@@ -57,6 +57,44 @@ class OmniPandaPickObjective(Objective):
         )
 
 
+    def kernel_cost(self, scene):
+        from ..ops.pallas import lanes as L
+
+        comfy = [float(v) for v in np.asarray(self.comfy_arm_pose)]
+        comfy_g = [float(v) for v in np.asarray(self.comfy_gripper_state)]
+
+        def fn(view, t):
+            w = self.weights
+            r = view.body_pos("panda_hand", "omnipanda")
+            rq = view.body_quat("panda_hand", "omnipanda")
+            block = view.actor_pos("block")
+            goal = view.actor_pos("goal")
+            q = view.actor_q("omnipanda")
+            qd = view.actor_qd("omnipanda")
+            tf = view.actor_net_cf("table")
+            base_vel = sum(qd[i] * qd[i] for i in range(3))
+            arm_vel = sum(qd[i] * qd[i] for i in range(3, 10))
+            arm_pose = sum((q[3 + i] - comfy[i]) ** 2 for i in range(7))
+            grip = sum((q[-2 + i] - comfy_g[i]) ** 2 for i in range(2))
+            _, p, y = L.euler_zyx(rq)
+            return (
+                w["robot_to_block"] * L.norm3(L.sub3(r, block), eps=1e-12)
+                + w["block_to_goal"] * L.norm3(L.sub3(block, goal), eps=1e-12)
+                + w["collision"] * (jnp.abs(tf[0]) + jnp.abs(tf[1]) + jnp.abs(tf[2]))
+                + w["robot_ori"] * jnp.sqrt(y * y + p * p + 1e-12)
+                + w["base_vel"] * base_vel
+                + w["arm_vel"] * arm_vel
+                + w["comfy_arm_pose"] * arm_pose
+                + w["comfy_gripper_state"] * grip
+                + w["height_cost"] * jnp.maximum(0.12 - r[2], 0.0)
+            )
+
+        return fn
+
+
+import numpy as np  # noqa: E402
+
+
 def run(overrides=None, **kw):
     from ..utils.config_store import load_config
     from ..runtime.loop import run_task

@@ -22,6 +22,22 @@ class PandaReachObjective(Objective):
         return self.weights["robot_to_goal"] * dist + self.weights["robot_ori"] * ori
 
 
+    def kernel_cost(self, scene):
+        from ..ops.pallas import lanes as L
+
+        def fn(view, t):
+            w = self.weights
+            r = view.body_pos(self.ee_link, "panda")
+            rq = view.body_quat(self.ee_link, "panda")
+            goal = view.actor_pos("goal")
+            dist = L.norm3(L.sub3(r, goal), eps=1e-12)
+            _, p, y = L.euler_zyx(rq)
+            ori = jnp.sqrt(y * y + p * p + 1e-12)
+            return w["robot_to_goal"] * dist + w["robot_ori"] * ori
+
+        return fn
+
+
 def run(overrides=None, task="panda", **kw):
     from ..utils.config_store import load_config
     from ..runtime.loop import run_task

@@ -43,6 +43,38 @@ class PandaStickPushObjective(Objective):
         )
 
 
+    def kernel_cost(self, scene):
+        from ..ops.pallas import lanes as L
+
+        gyaw = float(self.goal_yaw)
+
+        def fn(view, t):
+            w = self.weights
+            ee = view.body_pos("panda_ee_tip", "panda")
+            block = view.actor_pos("panda_push_block")
+            goal = view.actor_pos("goal")
+            byaw = L.yaw_of(view.actor_quat("panda_push_block"))
+            table_top = view.actor_pos("table")[2] + 0.15
+            rbx, rby = ee[0] - block[0], ee[1] - block[1]
+            bgx, bgy = goal[0] - block[0], goal[1] - block[1]
+            d_rb3 = L.norm3(L.sub3(ee, block), eps=1e-12)
+            d_rb = jnp.sqrt(rbx * rbx + rby * rby + 1e-12)
+            d_bg = jnp.sqrt(bgx * bgx + bgy * bgy + 1e-12)
+            align = (rbx * bgx + rby * bgy) / jnp.maximum(d_rb * d_bg, 1e-6) + 1.0
+            tf = view.actor_net_cf("table")
+            coll = jnp.abs(tf[0]) + jnp.abs(tf[1]) + jnp.abs(tf[2])
+            return (
+                w["robot_to_block"] * d_rb3
+                + w["block_to_goal"] * d_bg
+                + w["block_to_goal_ort"] * jnp.abs(byaw - gyaw)
+                + w["push_align"] * align
+                + w["collision"] * coll
+                + w["block_height"] * jnp.abs(block[2] - table_top)
+            )
+
+        return fn
+
+
 def run(overrides=None, **kw):
     from ..utils.config_store import load_config
     from ..runtime.loop import run_task

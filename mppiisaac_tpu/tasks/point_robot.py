@@ -31,6 +31,32 @@ class PointRobotObjective(Objective):
         return w["nav"] * nav + w["obstacle"] * obstacle + w["coll"] * coll
 
 
+    def kernel_cost(self, scene):
+        import numpy as _np
+
+        gx = float(_np.asarray(self.nav_goal)[0])
+        gy = float(_np.asarray(self.nav_goal)[1])
+
+        def fn(view, t):
+            w = self.weights
+            q = view.actor_q("point_robot")
+            dx = q[0] - gx
+            dy = q[1] - gy
+            cost = w["nav"] * jnp.sqrt(dx * dx + dy * dy + 1e-12)
+            for name in self.obstacle_names:
+                op = view.actor_pos(name)
+                ox = q[0] - op[0]
+                oy = q[1] - op[1]
+                cost = cost + w["obstacle"] / jnp.maximum(
+                    jnp.sqrt(ox * ox + oy * oy + 1e-12), 1e-3
+                )
+            cf = view.actor_net_cf("point_robot")
+            cost = cost + w["coll"] * (jnp.abs(cf[0]) + jnp.abs(cf[1]) + jnp.abs(cf[2]))
+            return cost
+
+        return fn
+
+
 def make_config(overrides=None):
     from ..utils.config_store import load_config
 
