@@ -199,7 +199,10 @@ from ...physics.contact import _BOX_SAMPLES, N_BOX_SAMPLES  # noqa: E402
 
 
 def contacts_lanes(scene, tables, pos, quat, linv, angv, fric_scale, dt_sub):
-    """→ (plk_n[b], plk_f[b] Plücker force 3-tuples, net_cf[b])."""
+    """→ (plk_n[b], plk_f[b] Plücker force 3-tuples, net_cf[b], free_cands).
+
+    free_cands: per-candidate geometry for candidates touching a FREE rigid
+    body — consumed by the in-kernel Gauss–Seidel impulse sweeps."""
     B = scene.nbody
     tau_c = max(2.0 * dt_sub, 1e-3)
     zeta = 1.0
@@ -259,6 +262,7 @@ def contacts_lanes(scene, tables, pos, quat, linv, angv, fric_scale, dt_sub):
     plk_n = [(0.0, 0.0, 0.0)] * B
     plk_f = [(0.0, 0.0, 0.0)] * B
     net_cf = [(0.0, 0.0, 0.0)] * B
+    free_cands = []
 
     for idx, (_, ga, gb, kind, extra) in enumerate(cands):
         if kind == "cp0":
@@ -353,7 +357,13 @@ def contacts_lanes(scene, tables, pos, quat, linv, angv, fric_scale, dt_sub):
             plk_n[bb] = L.sub3(plk_n[bb], nO_b)
             plk_f[bb] = L.sub3(plk_f[bb], force_b)
             net_cf[bb] = L.sub3(net_cf[bb], force_b)
-    return plk_n, plk_f, net_cf
+        if a_is_free or b_is_free:
+            free_cands.append(
+                dict(point=point, normal=normal, depth=depth, mu=mu,
+                     ba=ba, bb=bb, has_b=has_b,
+                     a_free=a_is_free, b_free=b_is_free)
+            )
+    return plk_n, plk_f, net_cf, free_cands
 
 
 # ---------------------------------------------------------------------------
@@ -400,11 +410,13 @@ def _mat6vec(M6, v):
 
 
 def dynamics_lanes(scene, masks_list, state, pos, quat, linv, angv, axis_w,
-                   plk_n, plk_f, mass_scale, dt):
+                   plk_n, plk_f, mass_scale, dt, free_cands=None,
+                   impulse_sweeps=2):
     """Implicit velocity update + integration for every dynamic actor.
     masks_list: per-actor ActorMasks (from physics.dynamics.build_actor_masks).
     mass_scale: list of per-body tiles (or floats). Mutates/returns new state dict."""
     new_state = dict(state)
+    deferred = []            # free single-body actors awaiting impulse pass
     new_q = list(state["q"])
     new_qd = list(state["qd"])
     new_rp = list(state["root_pos"])
@@ -561,7 +573,8 @@ def dynamics_lanes(scene, masks_list, state, pos, quat, linv, angv, axis_w,
         Msolve = [[M[i][j] + ((dt * d_imp[i] + 1e-8) if i == j else 0.0) for j in range(nv)] for i in range(nv)]
         u_new = L.cholesky_solve(Msolve, rhs)
 
-        # integrate
+        # integrate (FREE single bodies defer position integration until the
+        # impulse sweeps have corrected their velocities)
         if base:
             w_new = (u_new[0], u_new[1], u_new[2])
             v_o = (u_new[3], u_new[4], u_new[5])
@@ -571,10 +584,13 @@ def dynamics_lanes(scene, masks_list, state, pos, quat, linv, angv, axis_w,
             vcap = float(scene.max_root_linvel)
             w_new = tuple(jnp.clip(c, -wcap, wcap) for c in w_new)
             v_r = tuple(jnp.clip(c, -vcap, vcap) for c in v_r)
-            new_rp[ai] = L.fma3(p_r, v_r, dt)
-            new_rq[ai] = L.qintegrate(state["root_quat"][ai], w_new, dt)
             new_rlv[ai] = v_r
             new_rav[ai] = w_new
+            if art.ndof == 0:
+                deferred.append(ai)
+            else:
+                new_rp[ai] = L.fma3(p_r, v_r, dt)
+                new_rq[ai] = L.qintegrate(state["root_quat"][ai], w_new, dt)
         for kdof in range(art.ndof):
             dglob = do + kdof
             qd_k = u_new[base + kdof]
@@ -585,6 +601,88 @@ def dynamics_lanes(scene, masks_list, state, pos, quat, linv, angv, axis_w,
             new_q[dglob] = qk
             new_qd[dglob] = qd_k
 
+    # ---- Gauss–Seidel impulse sweeps for free rigid bodies (in-kernel
+    # analog of contact.impulse_contact_pass; GS converges in ~2 sweeps where
+    # Jacobi needs ~16, and sequential updates are free in straight-line code)
+    if deferred and free_cands:
+        beta, slop = 0.2, 2e-3
+        dcap = float(scene.max_contact_depth)
+        body2actor = {scene.body_offset[a_]: a_ for a_ in deferred}
+        inv_m = {}
+        invIw = {}
+        for ai2 in deferred:
+            b = scene.body_offset[ai2]
+            art2 = scene.actors[ai2]
+            inv_m[b] = (1.0 / max(float(art2.mass[0]), 1e-6)) / jnp.maximum(mass_scale[b], 1e-6)
+            Iinv = np.linalg.inv(art2.inertia[0] + np.eye(3) * 1e-9)
+            R = L.q_to_R(state["root_quat"][ai2])
+            # R Iinv R^T / scale
+            RI = [[sum(R[i][k] * float(Iinv[k][j]) for k in range(3)) for j in range(3)] for i in range(3)]
+            invIw[b] = [[sum(RI[i][k] * R[j][k] for k in range(3)) / jnp.maximum(mass_scale[b], 1e-6) for j in range(3)] for i in range(3)]
+
+        lam_n = [0.0] * len(free_cands)
+        lam_t = [(0.0, 0.0, 0.0)] * len(free_cands)
+
+        def body_vel_at(b, point):
+            if b in body2actor:
+                ai2 = body2actor[b]
+                return L.add3(new_rlv[ai2], L.cross3(new_rav[ai2], L.sub3(point, state["root_pos"][ai2])))
+            return L.add3(linv[b], L.cross3(angv[b], L.sub3(point, pos[b])))
+
+        for _ in range(impulse_sweeps):
+            for ci, c in enumerate(free_cands):
+                n = c["normal"]; pt = c["point"]
+                depth = jnp.minimum(c["depth"], dcap)
+                active = depth > 0.0
+                target = beta * jnp.maximum(depth - slop, 0.0) / dt
+                va = body_vel_at(c["ba"], pt)
+                vb = body_vel_at(c["bb"], pt) if c["has_b"] else (0.0, 0.0, 0.0)
+                v_rel = L.sub3(va, vb)
+                vn = L.dot3(v_rel, n)
+                # effective inverse mass along n over the free sides
+                k_n = 1e-9
+                for b, fr, sgn in ((c["ba"], c["a_free"], 1.0), (c["bb"], c["b_free"], -1.0)):
+                    if not fr:
+                        continue
+                    r = L.sub3(pt, state["root_pos"][body2actor[b]])
+                    rxn = L.cross3(r, n)
+                    Iw_rxn = tuple(sum(invIw[b][i][j] * rxn[j] for j in range(3)) for i in range(3))
+                    k_n = k_n + inv_m[b] + L.dot3(rxn, Iw_rxn)
+                d_lam = jnp.where(active, -(vn - target) / k_n, 0.0)
+                new_lam = jnp.maximum(lam_n[ci] + d_lam, 0.0)
+                d_imp = new_lam - lam_n[ci]
+                lam_n[ci] = new_lam
+                imp = L.scale3(n, d_imp)
+                # friction (cone-projected accumulated tangential impulse)
+                vt = L.sub3(v_rel, L.scale3(n, vn))
+                vt_n = L.norm3(vt, eps=0.0)
+                k_t = k_n
+                jt_try = tuple(jnp.where(active, -vt[i] / k_t, 0.0) for i in range(3))
+                lt_new = L.add3(lam_t[ci], jt_try)
+                lt_norm = L.norm3(lt_new, eps=0.0)
+                cap = c["mu"] * lam_n[ci]
+                sc = jnp.minimum(1.0, cap / jnp.maximum(lt_norm, 1e-9))
+                lt_new = L.scale3(lt_new, sc)
+                jt = L.sub3(lt_new, lam_t[ci])
+                lam_t[ci] = lt_new
+                imp = L.add3(imp, jt)
+                for b, fr, sgn in ((c["ba"], c["a_free"], 1.0), (c["bb"], c["b_free"], -1.0)):
+                    if not fr:
+                        continue
+                    ai2 = body2actor[b]
+                    si = L.scale3(imp, sgn)
+                    new_rlv[ai2] = L.fma3(new_rlv[ai2], si, inv_m[b])
+                    r = L.sub3(pt, state["root_pos"][ai2])
+                    tor = L.cross3(r, si)
+                    dang = tuple(sum(invIw[b][i][j] * tor[j] for j in range(3)) for i in range(3))
+                    new_rav[ai2] = L.add3(new_rav[ai2], dang)
+
+    # deferred free-body position integration with corrected velocities
+    for ai2 in deferred:
+        p_r = state["root_pos"][ai2]
+        new_rp[ai2] = L.fma3(p_r, new_rlv[ai2], dt)
+        new_rq[ai2] = L.qintegrate(state["root_quat"][ai2], new_rav[ai2], dt)
+
     new_state["q"] = new_q
     new_state["qd"] = new_qd
     new_state["root_pos"] = new_rp
@@ -594,16 +692,19 @@ def dynamics_lanes(scene, masks_list, state, pos, quat, linv, angv, axis_w,
     return new_state
 
 
-def substep_lanes(scene, tables, masks_list, state, fric_scale, mass_scale, dt):
+def substep_lanes(scene, tables, masks_list, state, fric_scale, mass_scale, dt,
+                  impulse_sweeps=2):
     """One full substep; returns (new_state, LaneView of the pre-integration
     snapshot with contact forces — used by cost terms after the last substep)."""
     pos, quat, linv, angv, axis_w = fk_lanes(scene, state)
-    plk_n, plk_f, net_cf = contacts_lanes(
+    plk_n, plk_f, net_cf, free_cands = contacts_lanes(
         scene, tables, pos, quat, linv, angv, fric_scale, dt
     )
     new_state = dynamics_lanes(
         scene, masks_list, state, pos, quat, linv, angv, axis_w,
         plk_n, plk_f, mass_scale, dt,
+        free_cands=free_cands if impulse_sweeps > 0 else None,
+        impulse_sweeps=impulse_sweeps,
     )
     new_state["net_cf"] = net_cf
     return new_state

@@ -44,7 +44,9 @@ class FusedRollout:
         K: int,
         vis_body: Optional[int] = None,
         interpret: bool = False,
+        impulse_sweeps: int = 2,
     ):
+        self.impulse_sweeps = impulse_sweeps
         self.built = built
         self.engine = engine
         self.scene = built.scene
@@ -139,7 +141,8 @@ class FusedRollout:
                 s2 = self._unpack(arr_s)
                 s2["dof_target"] = tgt
                 s2 = substep_lanes(
-                    scene, tables, self.masks_list, s2, fric_tiles, mass_tiles, dt_sub
+                    scene, tables, self.masks_list, s2, fric_tiles, mass_tiles, dt_sub,
+                    impulse_sweeps=self.impulse_sweeps,
                 )
                 return self._pack(s2)
 

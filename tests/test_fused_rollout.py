@@ -93,16 +93,60 @@ def test_fused_matches_xla(setup):
 
     costs_ref = jax.vmap(rollout_one)(state_K, params_K, V)     # (K,H)
 
-    # --- fused kernel (interpret mode) ---
+    # --- fused kernel (interpret mode), impulse sweeps off → EXACT match of
+    # the penalty-only engine ---
     fused = FusedRollout(
         built, engine, cost_fn=obj.kernel_cost(built.scene), H=H, K=K,
-        vis_body=None, interpret=True,
+        vis_body=None, interpret=True, impulse_sweeps=0,
     )
     costs_f, vis = fused.rollout(state_K, params_K, V)
 
     np.testing.assert_allclose(
         np.asarray(costs_f), np.asarray(costs_ref), rtol=2e-3, atol=2e-3
     )
+
+
+def test_fused_impulse_behavioral(setup):
+    """With in-kernel GS impulse sweeps on, the fused physics must
+    qualitatively track the world engine (Jacobi impulse pass): the free block
+    settles at the same height."""
+    built, _ = setup
+    from mppiisaac_tpu.physics.step import Engine as Eng
+
+    engine_w = Eng(built.scene, use_impulse=True)
+    K, H = 4, 6
+    nu = built.cmd_map.nu
+    obj = TinyObjective()
+    state_K = broadcast_state(built.initial_state(engine_w), K)
+    params_K = sample_model_params(built, engine_w, K, seed=5)
+    V = jnp.zeros((K, H, nu))
+
+    def roll(st, pr, V_k):
+        def body(s, u):
+            s = s._replace(dof_target=built.cmd_map.apply(u))
+            s = engine_w.step(s, pr)
+            return s, s.root_pos[built.scene.actor_index("block"), 2]
+
+        _, z = jax.lax.scan(body, st, V_k)
+        return z
+
+    z_ref = jax.vmap(roll)(state_K, params_K, V)
+
+    class ZObj(TinyObjective):
+        def kernel_cost(self, scene):
+            ai = scene.actor_index("block")
+
+            def fn(view, t):
+                return view.actor_pos("block")[2]
+
+            return fn
+
+    fused = FusedRollout(
+        built, engine_w, cost_fn=ZObj().kernel_cost(built.scene), H=H, K=K,
+        vis_body=None, interpret=True, impulse_sweeps=2,
+    )
+    z_fused, _ = fused.rollout(state_K, params_K, V)
+    np.testing.assert_allclose(np.asarray(z_fused), np.asarray(z_ref), atol=0.02)
 
 
 def test_fused_vis_trajectory(setup):
