@@ -61,11 +61,17 @@ def _body_mass_for_contact(scene: SceneModel, gi: int) -> float:
     b = int(scene.geom_body[gi])
     ai = int(scene.body_actor[b])
     art = scene.actors[ai]
-    local = b - scene.body_offset[ai]
-    m = float(art.mass[local])
     if art.fixed_base and art.ndof == 0:
         return np.inf
-    return max(m, 1e-3)
+    if art.ndof > 0:
+        # articulated: a contact link carries a share of the whole robot.
+        # Geometric mean of link and total mass: pure link mass sags under the
+        # chassis, pure total mass over-stiffens the light wheel's local modes
+        local_m = float(art.mass[b - scene.body_offset[ai]])
+        total_m = float(np.sum(art.mass))
+        return max(np.sqrt(max(local_m, 1e-3) * max(total_m, 1e-3)), 1e-3)
+    local = b - scene.body_offset[ai]
+    return max(float(art.mass[local]), 1e-3)
 
 
 def _pair_meff(scene: SceneModel, gi: int, gj: int) -> float:
@@ -527,8 +533,8 @@ def impulse_contact_pass(
     k_n = jnp.maximum(k_dir(normal), 1e-9)
     target = beta * jnp.maximum(depth - slop, 0.0) / dt
 
-    # one-hot accumulators (B, n) for velocity updates
-    A_a = jnp.asarray(tables.acc_a * a_free[None, :].astype(np.float32), dt_) if False else jnp.asarray(tables.acc_a, dt_) * jnp.asarray(a_free, dt_)[None, :]
+    # one-hot accumulators (B, n) for velocity updates (free sides only)
+    A_a = jnp.asarray(tables.acc_a, dt_) * jnp.asarray(a_free, dt_)[None, :]
     A_b = jnp.asarray(tables.acc_b, dt_) * jnp.asarray(b_free, dt_)[None, :]
 
     lin = body_linvel
