@@ -531,7 +531,8 @@ def dynamics_lanes(scene, masks_list, state, pos, quat, linv, angv, axis_w,
                     M[i][j] = val
                     M[j][i] = val
 
-        # drives (same law as stacked.drive_terms_stacked)
+        # drives (same law as stacked.drive_terms_stacked), incl. the gripper
+        # force gate: finger dofs closing against contact stop
         tau = [0.0] * nv
         d_imp = [0.0] * nv
         for kdof in range(art.ndof):
@@ -543,6 +544,11 @@ def dynamics_lanes(scene, masks_list, state, pos, quat, linv, angv, axis_w,
             qk = state["q"][dglob]
             qdk = state["qd"][dglob]
             tgt = state["dof_target"][dglob]
+            if "finger" in art.dof_names[kdof]:
+                fbody = bo + [i for i in range(art.nbody) if art.dof_index[i] == kdof][0]
+                ncf_b = state.get("net_cf", [(0.0, 0.0, 0.0)] * scene.nbody)[fbody]
+                fmag = L.norm3(ncf_b, eps=0.0)
+                tgt = jnp.where((fmag > float(scene.grip_force_gate)) & (tgt < 0.0), 0.0, tgt)
             if mode == DRIVE_VELOCITY:
                 # force-limited implicit drive (see stacked.drive_terms_stacked)
                 kd_eff = jnp.minimum(kd, effort / jnp.maximum(jnp.abs(tgt - qdk), 1e-6))

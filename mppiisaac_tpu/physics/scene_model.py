@@ -33,6 +33,10 @@ class SceneModel:
     # of a pair whose free side is impulse-solved. Fixed (not mass-scaled) so
     # strong actuators feel light objects — a gripper must stall on a block
     couple_stiffness: float = 1.0e4
+    # gripper force gate: finger dofs stop closing once their link feels this
+    # much contact force (models a force-controlled gripper; PhysX stalls
+    # fingers via contact constraints, explicit penalties cannot)
+    grip_force_gate: float = 3.0
 
     # derived (filled in __post_init__)
     body_offset: List[int] = field(default_factory=list)

@@ -103,6 +103,7 @@ class StackedModel:
     joint_pick: np.ndarray = field(default_factory=lambda: np.zeros((0, 0), _F32))
     uscatter: np.ndarray = field(default_factory=lambda: np.zeros((0, 0), _F32))
     body_jdof_clipped: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int32))
+    dof_gate_body: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int32))
 
 
 def build_stacked(scene: SceneModel) -> StackedModel:
@@ -250,6 +251,16 @@ def build_stacked(scene: SceneModel) -> StackedModel:
     # clipped jdof for fk gather (no runtime clip)
     body_jdof_clipped = np.where(body_jdof >= 0, body_jdof, 0).astype(np.int32)
 
+    # gripper force gate: finger dofs (by joint name) stop closing when their
+    # link's net contact force exceeds scene.grip_force_gate
+    dof_gate_body = np.full(D, -1, np.int32)
+    for ai, art in enumerate(scene.actors):
+        for k, jn in enumerate(art.dof_names):
+            if "finger" in jn:
+                for i in range(art.nbody):
+                    if art.dof_index[i] == k:
+                        dof_gate_body[scene.dof_offset[ai] + k] = scene.body_offset[ai] + i
+
     # actuated dof params stacked across actors
     def cat(field):
         vals = [getattr(a, field) for a in scene.actors]
@@ -279,6 +290,7 @@ def build_stacked(scene: SceneModel) -> StackedModel:
         drive_kp=cat("drive_kp"), drive_kd=cat("drive_kd"),
         base_pick=base_pick, joint_pick=joint_pick, uscatter=uscatter,
         body_jdof_clipped=body_jdof_clipped,
+        dof_gate_body=dof_gate_body,
     )
 
 
@@ -486,10 +498,18 @@ def stacked_substep(
     Ic = jnp.einsum("vb,bij->vij", sub, Iw, precision=_PREC)  # (NV,6,6)
     F = jnp.einsum("vij,vj->vi", Ic, S, precision=_PREC)  # (NV,6)
 
-    # drives on actuated dofs, scattered to coords
-    tau_j, d_imp_j = drive_terms_stacked(
-        m, state.q, state.qd, state.dof_target, dt
-    )
+    # drives on actuated dofs, scattered to coords. Gripper force gate: a
+    # finger dof closing (target < 0) against contact stops (target → 0)
+    dof_target = state.dof_target
+    if m.D and (m.dof_gate_body >= 0).any():
+        gb = np.where(m.dof_gate_body >= 0)[0]
+        bodies = m.dof_gate_body[gb]
+        fmag = jnp.linalg.norm(state.net_contact_force[bodies], axis=-1)
+        gated = (fmag > scene.grip_force_gate) & (dof_target[gb] < 0.0)
+        dof_target = dof_target.at[gb].set(
+            jnp.where(gated, 0.0, dof_target[gb])
+        )
+    tau_j, d_imp_j = drive_terms_stacked(m, state.q, state.qd, dof_target, dt)
     if m.D:
         jpick = jnp.asarray(m.joint_pick)
         tau = jnp.matmul(jpick, tau_j, precision=_PREC)

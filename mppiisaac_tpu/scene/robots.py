@@ -279,7 +279,7 @@ def panda(variant: str = "bare", prefix: str = "panda") -> str:
                 rpy=(0, 0, -_PI / 4))
         for fi, sy in (("1", 1), ("2", -1)):
             u.link(f"{prefix}_finger{fi}", mass=0.015,
-                   geoms=[("box", (0.022, 0.012, 0.05), (0, sy * 0.0, 0.028), (0, 0, 0))])
+                   geoms=[("box", (0.034, 0.014, 0.05), (0, sy * 0.0, 0.028), (0, 0, 0))])
             u.joint(f"{prefix}_finger_joint{fi}", "prismatic",
                     f"{prefix}_hand", f"{prefix}_finger{fi}",
                     xyz=(0, sy * 0.0, 0.0584), axis=(0, sy, 0),
@@ -308,7 +308,7 @@ def omni_panda() -> str:
     u.joint("panda_hand_joint", "fixed", "panda_link8", "panda_hand", rpy=(0, 0, -_PI / 4))
     for fi, sy in (("1", 1), ("2", -1)):
         u.link(f"panda_finger{fi}", mass=0.015,
-               geoms=[("box", (0.022, 0.012, 0.05), (0, 0, 0.028), (0, 0, 0))])
+               geoms=[("box", (0.034, 0.014, 0.05), (0, 0, 0.028), (0, 0, 0))])
         u.joint(f"panda_finger_joint{fi}", "prismatic", "panda_hand", f"panda_finger{fi}",
                 xyz=(0, 0, 0.0584), axis=(0, sy, 0),
                 lower=0.0, upper=0.04, effort=20, velocity=0.2)
