@@ -89,3 +89,10 @@ def test_anymal():
     from mppiisaac_tpu.tasks import anymal
 
     _run(anymal.run)
+
+
+def test_multi_pointbot():
+    from mppiisaac_tpu.tasks import multi_robot
+
+    m = multi_robot.run(overrides=OVR, randomize=False)
+    assert m.steps >= 1
