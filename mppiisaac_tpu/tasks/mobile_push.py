@@ -18,14 +18,26 @@ class MobilePushObjective(Objective):
         goal = getattr(cfg, "goal", None) or [2.0, 2.0]
         self.goal = jnp.asarray(goal, jnp.float32)[:2]
         self.goal_yaw = 0.0
-        self.weights = {
-            "robot_to_block": 0.2,
-            "block_to_goal": 2.0,
-            "block_to_goal_ort": 3.0,
-            "push_align": 0.6,
-            "collision": 10.0,
-            "velocity": 0.0,
-        }
+        if robot == "boxer":
+            # tuned for the diff-drive pusher on this engine (succeeds @ ~70
+            # steps; the reference's heijn weights leave the boxer circling)
+            self.weights = {
+                "robot_to_block": 0.6,
+                "block_to_goal": 3.0,
+                "block_to_goal_ort": 1.0,
+                "push_align": 1.0,
+                "collision": 2.0,
+                "velocity": 0.1,
+            }
+        else:
+            self.weights = {
+                "robot_to_block": 0.2,
+                "block_to_goal": 2.0,
+                "block_to_goal_ort": 3.0,
+                "push_align": 0.6,
+                "collision": 10.0,
+                "velocity": 0.0,
+            }
 
     def compute_cost(self, view: SimView) -> jnp.ndarray:
         r_pos = view.link_position(self.ee_link, self.robot)[..., :2]
