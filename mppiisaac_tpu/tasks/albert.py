@@ -15,11 +15,17 @@ class AlbertObjective(Objective):
         self.weights = {"robot_to_goal": 1.0, "robot_ori": 0.3}
 
     def compute_cost(self, view: SimView) -> jnp.ndarray:
+        from ..physics.math3d import quat_to_euler_zyx
+
         r = view.link_state("mmrobot_link7", "albert")
         goal = view.actor_position("goal")
+        # upright = roll/pitch only: penalizing yaw would fight base rotation
+        # (the EE yaw moves with the diff-drive base)
+        roll, pitch, _ = quat_to_euler_zyx(r[..., 3:7])
+        ori = jnp.sqrt(roll * roll + pitch * pitch + 1e-12)
         return self.weights["robot_to_goal"] * norm(r[..., 0:3] - goal) + self.weights[
             "robot_ori"
-        ] * ee_upright_cost(r[..., 3:7])
+        ] * ori
 
 
     def kernel_cost(self, scene):
@@ -30,10 +36,10 @@ class AlbertObjective(Objective):
             r = view.body_pos("mmrobot_link7", "albert")
             rq = view.body_quat("mmrobot_link7", "albert")
             goal = view.actor_pos("goal")
-            _, p, y = L.euler_zyx(rq)
+            ro, p, _ = L.euler_zyx(rq)  # roll/pitch only (yaw follows the base)
             return w["robot_to_goal"] * L.norm3(L.sub3(r, goal), eps=1e-12) + w[
                 "robot_ori"
-            ] * jnp.sqrt(y * y + p * p + 1e-12)
+            ] * jnp.sqrt(ro * ro + p * p + 1e-12)
 
         return fn
 
