@@ -336,7 +336,7 @@ def contacts_lanes(scene, tables, pos, quat, linv, angv, fric_scale, dt_sub):
             kd = 2.0 * zeta * kn_base / tau_c
             fn = jnp.where(active, jnp.maximum(kn * depth_cl - kd * vn, 0.0), 0.0)
             ft_s = -(mu * fn / jnp.maximum(vt_norm, eps_v))
-            return L.fma3(L.scale3(normal, fn), vt, ft_s)
+            return L.fma3(L.scale3(normal, fn), vt, ft_s), fn
 
         # side-asymmetric penalty (see physics/contact.py): free bodies feel
         # the mass-scaled stable stiffness, actuated/fixed the couple stiffness
@@ -344,9 +344,14 @@ def contacts_lanes(scene, tables, pos, quat, linv, angv, fric_scale, dt_sub):
         kb_soft = float(tables.kn_base_soft[idx])
         a_is_free = float(tables.a_free[idx]) > 0
         b_is_free = has_b and float(tables.b_free[idx]) > 0
-        force_a = force_with(kb_soft if a_is_free else kb)
+        force_a, fn_a = force_with(kb_soft if a_is_free else kb)
         if has_b:
-            force_b = force_a if (b_is_free == a_is_free) else force_with(kb_soft if b_is_free else kb)
+            if b_is_free == a_is_free:
+                force_b, fn_b = force_a, fn_a
+            else:
+                force_b, fn_b = force_with(kb_soft if b_is_free else kb)
+        is_couple = has_b and (a_is_free != b_is_free)
+        fn_stiff = (fn_b if a_is_free else fn_a) if is_couple else 0.0
         nO_a = L.cross3(point, force_a)
 
         plk_n[ba] = L.add3(plk_n[ba], nO_a)
@@ -361,7 +366,7 @@ def contacts_lanes(scene, tables, pos, quat, linv, angv, fric_scale, dt_sub):
             free_cands.append(
                 dict(point=point, normal=normal, depth=depth, mu=mu,
                      ba=ba, bb=bb, has_b=has_b,
-                     a_free=a_is_free, b_free=b_is_free)
+                     a_free=a_is_free, b_free=b_is_free, fn_stiff=fn_stiff)
             )
     return plk_n, plk_f, net_cf, free_cands
 
@@ -640,7 +645,7 @@ def dynamics_lanes(scene, masks_list, state, pos, quat, linv, angv, axis_w,
                 n = c["normal"]; pt = c["point"]
                 depth = jnp.minimum(c["depth"], dcap)
                 active = depth > 0.0
-                target = beta * jnp.maximum(depth - slop, 0.0) / dt
+                target = jnp.minimum(beta * jnp.maximum(depth - slop, 0.0) / dt, 0.5)
                 va = body_vel_at(c["ba"], pt)
                 vb = body_vel_at(c["bb"], pt) if c["has_b"] else (0.0, 0.0, 0.0)
                 v_rel = L.sub3(va, vb)
@@ -666,7 +671,7 @@ def dynamics_lanes(scene, masks_list, state, pos, quat, linv, angv, axis_w,
                 jt_try = tuple(jnp.where(active, -vt[i] / k_t, 0.0) for i in range(3))
                 lt_new = L.add3(lam_t[ci], jt_try)
                 lt_norm = L.norm3(lt_new, eps=0.0)
-                cap = c["mu"] * lam_n[ci]
+                cap = c["mu"] * (lam_n[ci] + c["fn_stiff"] * dt)
                 sc = jnp.minimum(1.0, cap / jnp.maximum(lt_norm, 1e-9))
                 lt_new = L.scale3(lt_new, sc)
                 jt = L.sub3(lt_new, lam_t[ci])

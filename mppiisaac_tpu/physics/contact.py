@@ -407,15 +407,15 @@ def compute_contact_forces(
     def force_with(kn_arr, kd_arr):
         fn = jnp.where(active, jnp.maximum(kn_arr * depth_c - kd_arr * vn, 0.0), 0.0)
         ft = -(mu * fn / jnp.maximum(vt_norm, eps_v))[..., None] * vt
-        return fn[..., None] * normal + ft
+        return fn[..., None] * normal + ft, fn
 
     # side-asymmetric penalty: stiff (couple) stiffness felt by articulated/
     # fixed bodies, mass-scaled (stable) stiffness felt by free bodies —
     # free-body fidelity comes from the impulse pass layered on top
     kn_soft = jnp.asarray(tables.kn_base_soft / (tau_c * tau_c), dt_)
     kd_soft = 2.0 * zeta * jnp.asarray(tables.kn_base_soft / tau_c, dt_)
-    force_stiff = force_with(kn, kd)
-    force_soft = force_with(kn_soft, kd_soft)
+    force_stiff, fn_stiff = force_with(kn, kd)
+    force_soft, _ = force_with(kn_soft, kd_soft)
     af = jnp.asarray(tables.a_free, dt_)[:, None]
     bf = jnp.asarray(tables.b_free, dt_)[:, None]
     force_a = jnp.where(af > 0, force_soft, force_stiff)
@@ -432,7 +432,17 @@ def compute_contact_forces(
     net_cf = jnp.matmul(jnp.asarray(tables.acc_a, dt_), force_a, precision=P) - jnp.matmul(
         jnp.asarray(tables.acc_b, dt_), force_b, precision=P
     )
-    contact_geom = {"point": point, "normal": normal, "depth": depth, "mu": mu}
+    # fn_stiff rides along for COUPLE candidates only (articulated↔free): the
+    # impulse pass seeds its friction cone with the actual normal force the
+    # articulated side exerts (a pinched light body otherwise sees only
+    # impulse-scale friction caps and squirts out of grasps). Ground/static
+    # contacts keep impulse-derived caps — seeding them over-grips the floor.
+    couple = jnp.asarray(
+        ((tables.a_free > 0) != (tables.b_free > 0)) & (tables.con_geom_b >= 0),
+        dt_,
+    )
+    contact_geom = {"point": point, "normal": normal, "depth": depth, "mu": mu,
+                    "fn_stiff": fn_stiff * couple}
     return f_ext, net_cf, contact_geom
 
 
@@ -496,6 +506,7 @@ def impulse_contact_pass(
     normal = contact_geom["normal"]
     depth = jnp.minimum(contact_geom["depth"], scene.max_contact_depth)
     mu = contact_geom["mu"]
+    fn_seed = contact_geom.get("fn_stiff", jnp.zeros_like(depth))
     active = (depth > 0.0) & jnp.asarray(touched)
 
     # inverse mass / world inverse inertia per body (free bodies only)
@@ -531,7 +542,9 @@ def impulse_contact_pass(
         return amask * ka + bmask * kb
 
     k_n = jnp.maximum(k_dir(normal), 1e-9)
-    target = beta * jnp.maximum(depth - slop, 0.0) / dt
+    # depenetration velocity cap: an over-constrained pinch (gripper vice +
+    # table) otherwise escalates the escape velocity without bound
+    target = jnp.minimum(beta * jnp.maximum(depth - slop, 0.0) / dt, 0.5)
 
     # one-hot accumulators (B, n) for velocity updates (free sides only)
     A_a = jnp.asarray(tables.acc_a, dt_) * jnp.asarray(a_free, dt_)[None, :]
@@ -570,7 +583,7 @@ def impulse_contact_pass(
         jt = jnp.where(active[:, None], -vt / (k_t * n_eff)[:, None] * relax, 0.0)
         lam_t_new = lam_t + jt
         lt_norm = jnp.linalg.norm(lam_t_new, axis=-1)
-        cap = mu * lam_n
+        cap = mu * (lam_n + fn_seed * dt)
         scale = jnp.minimum(1.0, cap / jnp.maximum(lt_norm, 1e-9))
         lam_t_new = lam_t_new * scale[:, None]
         jt = lam_t_new - lam_t
@@ -592,6 +605,8 @@ def impulse_contact_pass(
         lin = lin + dlin
         ang = ang + dang
 
+    lin = jnp.clip(lin, -scene.max_root_linvel, scene.max_root_linvel)
+    ang = jnp.clip(ang, -scene.max_root_angvel, scene.max_root_angvel)
     net_cf_free = (
         jnp.matmul(jnp.asarray(tables.acc_a, dt_) * jnp.asarray(a_free, dt_)[None, :],
                    normal * lam_n[:, None] + lam_t, precision=jax.lax.Precision.HIGHEST)

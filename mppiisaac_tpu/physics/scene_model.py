@@ -27,8 +27,8 @@ class SceneModel:
     contact_offset: float = 0.01
     # stability clamps (PhysX-style max depenetration / velocity caps)
     max_contact_depth: float = 0.04          # cap on penetration used by the force law
-    max_root_linvel: float = 50.0
-    max_root_angvel: float = 50.0
+    max_root_linvel: float = 8.0
+    max_root_angvel: float = 25.0
     # articulated↔free coupling stiffness: the penalty on the ARTICULATED side
     # of a pair whose free side is impulse-solved. Fixed (not mass-scaled) so
     # strong actuators feel light objects — a gripper must stall on a block
@@ -36,7 +36,7 @@ class SceneModel:
     # gripper force gate: finger dofs stop closing once their link feels this
     # much contact force (models a force-controlled gripper; PhysX stalls
     # fingers via contact constraints, explicit penalties cannot)
-    grip_force_gate: float = 3.0
+    grip_force_gate: float = 10.0
 
     # derived (filled in __post_init__)
     body_offset: List[int] = field(default_factory=list)
