@@ -198,6 +198,81 @@ _BOX_CORNER_SIGNS = [(sx, sy, sz) for sx in (-1, 1) for sy in (-1, 1) for sz in 
 from ...physics.contact import _BOX_SAMPLES, N_BOX_SAMPLES  # noqa: E402
 
 
+
+def _geom_pose(scene, g, pos, quat):
+    b = int(scene.geom_body[g])
+    gp = L.add3(pos[b], L.qrot(quat[b], _t3(scene.geom_pos[g])))
+    gqq = L.qmul(quat[b], _t4(scene.geom_quat[g]))
+    return gp, gqq
+
+
+def _geom_segment(scene, g, pos, quat):
+    gp, gqq = _geom_pose(scene, g, pos, quat)
+    gt = int(scene.geom_type[g])
+    r = float(scene.geom_size[g][0])
+    hl = float(scene.geom_size[g][1]) if gt == GEOM_CAPSULE else 0.0
+    axis = L.qrot(gqq, (0.0, 0.0, 1.0))
+    return L.fma3(gp, axis, -hl), L.fma3(gp, axis, hl), r
+
+
+def _box_sample_point(scene, g, ci, pos, quat):
+    gp, gqq = _geom_pose(scene, g, pos, quat)
+    half = _t3(scene.geom_size[g])
+    sx, sy, sz = _BOX_SAMPLES[ci]
+    local = (float(sx) * half[0], float(sy) * half[1], float(sz) * half[2])
+    return L.add3(gp, L.qrot(gqq, local))
+
+
+def candidate_geometry(scene, ga, gb, kind, extra, pos, quat):
+    """(point, normal, depth) for one static candidate descriptor, recomputed
+    from body poses — used by the impulse sweeps so per-candidate tiles never
+    stay live across the whole contact section (VMEM stack pressure)."""
+    if kind == "cp0":
+        (which,) = extra
+        p0, p1, r = _geom_segment(scene, ga, pos, quat)
+        pend = p0 if which == 0 else p1
+        return (pend[0], pend[1], pend[2] - r), (0.0, 0.0, 1.0), r - pend[2]
+    if kind == "bp":
+        (ci,) = extra
+        pt = _box_sample_point(scene, ga, ci, pos, quat)
+        return pt, (0.0, 0.0, 1.0), -pt[2]
+    if kind == "cc":
+        pa0, pa1, ra = _geom_segment(scene, ga, pos, quat)
+        pb0, pb1, rb = _geom_segment(scene, gb, pos, quat)
+        ca, cb = _segment_closest_lanes(pa0, pa1, pb0, pb1)
+        delta = L.sub3(ca, cb)
+        dist = L.norm3(delta, eps=0.0)
+        normal = L.scale3(delta, 1.0 / jnp.maximum(dist, 1e-9))
+        depth = (ra + rb) - dist
+        point = L.fma3(cb, normal, rb - 0.5 * jnp.maximum(depth, 0.0))
+        return point, normal, depth
+    if kind == "cb":
+        (which,) = extra
+        p0, p1, r = _geom_segment(scene, ga, pos, quat)
+        gp_b, gq_b = _geom_pose(scene, gb, pos, quat)
+        half = _t3(scene.geom_size[gb])
+        if which == 0:
+            sp = p0
+        elif which == 1:
+            sp = p1
+        else:
+            sp, _ = _segment_closest_lanes(p0, p1, gp_b, gp_b)
+        n_w, depth_c, surf = _point_to_box_lanes(sp, gp_b, gq_b, half)
+        return surf, n_w, depth_c + r
+    if kind == "bbA":
+        (ci,) = extra
+        pt = _box_sample_point(scene, ga, ci, pos, quat)
+        gp_b, gq_b = _geom_pose(scene, gb, pos, quat)
+        n_w, depth_c, surf = _point_to_box_lanes(pt, gp_b, gq_b, _t3(scene.geom_size[gb]))
+        return surf, n_w, depth_c
+    # bbB
+    (ci,) = extra
+    pt = _box_sample_point(scene, gb, ci, pos, quat)
+    gp_a, gq_a = _geom_pose(scene, ga, pos, quat)
+    n_w, depth_c, surf = _point_to_box_lanes(pt, gp_a, gq_a, _t3(scene.geom_size[ga]))
+    return surf, (-n_w[0], -n_w[1], -n_w[2]), depth_c
+
+
 def contacts_lanes(scene, tables, pos, quat, linv, angv, fric_scale, dt_sub):
     """→ (plk_n[b], plk_f[b] Plücker force 3-tuples, net_cf[b], free_cands).
 
@@ -237,15 +312,12 @@ def contacts_lanes(scene, tables, pos, quat, linv, angv, fric_scale, dt_sub):
 
     # per-candidate (point, normal, depth) in table order
     cands = []   # (point, normal, depth)
-    for g in tables.cp_geom.tolist():
-        p0, p1, r = seg[g]
-        cands.append((None, g, -1, "cp0", (p0, r)))
-    for g in tables.cp_geom.tolist():
-        p0, p1, r = seg[g]
-        cands.append((None, g, -1, "cp0", (p1, r)))
+    for which in (0, 1):
+        for g in tables.cp_geom.tolist():
+            cands.append((None, g, -1, "cp0", (which,)))
     for ci in range(8):
         for g in tables.bp_geom.tolist():
-            cands.append((None, g, -1, "bp", (corners[g][ci],)))
+            cands.append((None, g, -1, "bp", (ci,)))
     for ga, gb in zip(tables.cc_a.tolist(), tables.cc_b.tolist()):
         cands.append((None, ga, gb, "cc", ()))
     for which in range(3):
@@ -266,12 +338,15 @@ def contacts_lanes(scene, tables, pos, quat, linv, angv, fric_scale, dt_sub):
 
     for idx, (_, ga, gb, kind, extra) in enumerate(cands):
         if kind == "cp0":
-            pend, r = extra
+            (which,) = extra
+            p0, p1, r = seg[ga]
+            pend = p0 if which == 0 else p1
             depth = r - pend[2]
             normal = (0.0, 0.0, 1.0)
             point = (pend[0], pend[1], pend[2] - r)
         elif kind == "bp":
-            (pt,) = extra
+            (ci,) = extra
+            pt = corners[ga][ci]
             depth = -pt[2]
             normal = (0.0, 0.0, 1.0)
             point = pt
@@ -363,10 +438,17 @@ def contacts_lanes(scene, tables, pos, quat, linv, angv, fric_scale, dt_sub):
             plk_f[bb] = L.sub3(plk_f[bb], force_b)
             net_cf[bb] = L.sub3(net_cf[bb], force_b)
         if a_is_free or b_is_free:
+            # STATIC descriptor only — geometry is recomputed inside the
+            # impulse sweeps (carrying ~9 live tiles × hundreds of candidates
+            # here overflows the kernel VMEM stack)
             free_cands.append(
-                dict(point=point, normal=normal, depth=depth, mu=mu,
+                dict(ga=ga, gb=gb, kind=kind, extra=extra,
+                     ga_geom=int(tables.con_geom_a[idx]),
+                     gb_geom=int(tables.con_geom_b[idx]),
+                     kn_stiff=float(tables.kn_base[idx]),
+                     mu0=float(tables.mu_base[idx]),
                      ba=ba, bb=bb, has_b=has_b,
-                     a_free=a_is_free, b_free=b_is_free, fn_stiff=fn_stiff)
+                     a_free=a_is_free, b_free=b_is_free)
             )
     return plk_n, plk_f, net_cf, free_cands
 
@@ -416,7 +498,7 @@ def _mat6vec(M6, v):
 
 def dynamics_lanes(scene, masks_list, state, pos, quat, linv, angv, axis_w,
                    plk_n, plk_f, mass_scale, dt, free_cands=None,
-                   impulse_sweeps=2):
+                   impulse_sweeps=2, fric_scale=None):
     """Implicit velocity update + integration for every dynamic actor.
     masks_list: per-actor ActorMasks (from physics.dynamics.build_actor_masks).
     mass_scale: list of per-body tiles (or floats). Mutates/returns new state dict."""
@@ -618,6 +700,7 @@ def dynamics_lanes(scene, masks_list, state, pos, quat, linv, angv, axis_w,
     if deferred and free_cands:
         beta, slop = 0.2, 2e-3
         dcap = float(scene.max_contact_depth)
+        tau_c = max(2.0 * dt, 1e-3)
         body2actor = {scene.body_offset[a_]: a_ for a_ in deferred}
         inv_m = {}
         invIw = {}
@@ -642,8 +725,12 @@ def dynamics_lanes(scene, masks_list, state, pos, quat, linv, angv, axis_w,
 
         for _ in range(impulse_sweeps):
             for ci, c in enumerate(free_cands):
-                n = c["normal"]; pt = c["point"]
-                depth = jnp.minimum(c["depth"], dcap)
+                # recompute geometry from poses (descriptors are static; see
+                # contacts_lanes note on VMEM stack pressure)
+                pt, n, depth_raw = candidate_geometry(
+                    scene, c["ga"], c["gb"], c["kind"], c["extra"], pos, quat
+                )
+                depth = jnp.minimum(depth_raw, dcap)
                 active = depth > 0.0
                 target = jnp.minimum(beta * jnp.maximum(depth - slop, 0.0) / dt, 0.5)
                 va = body_vel_at(c["ba"], pt)
@@ -671,7 +758,16 @@ def dynamics_lanes(scene, masks_list, state, pos, quat, linv, angv, axis_w,
                 jt_try = tuple(jnp.where(active, -vt[i] / k_t, 0.0) for i in range(3))
                 lt_new = L.add3(lam_t[ci], jt_try)
                 lt_norm = L.norm3(lt_new, eps=0.0)
-                cap = c["mu"] * (lam_n[ci] + c["fn_stiff"] * dt)
+                # friction cone: couple candidates are seeded with the stiff
+                # penalty's normal force (approximated without damping)
+                if c["has_b"] and (c["a_free"] != c["b_free"]):
+                    fn_seed = (c["kn_stiff"] / (tau_c * tau_c)) * jnp.maximum(depth, 0.0)
+                else:
+                    fn_seed = 0.0
+                fa_ = fric_scale[c["ga_geom"]] if fric_scale is not None else 1.0
+                fb_ = (fric_scale[c["gb_geom"]] if c["has_b"] else fa_) if fric_scale is not None else 1.0
+                mu_c = c["mu0"] * 0.5 * (fa_ + fb_)
+                cap = mu_c * (lam_n[ci] + fn_seed * dt)
                 sc = jnp.minimum(1.0, cap / jnp.maximum(lt_norm, 1e-9))
                 lt_new = L.scale3(lt_new, sc)
                 jt = L.sub3(lt_new, lam_t[ci])
@@ -715,7 +811,7 @@ def substep_lanes(scene, tables, masks_list, state, fric_scale, mass_scale, dt,
         scene, masks_list, state, pos, quat, linv, angv, axis_w,
         plk_n, plk_f, mass_scale, dt,
         free_cands=free_cands if impulse_sweeps > 0 else None,
-        impulse_sweeps=impulse_sweeps,
+        impulse_sweeps=impulse_sweeps, fric_scale=fric_scale,
     )
     new_state["net_cf"] = net_cf
     return new_state

@@ -45,7 +45,12 @@ class FusedRollout:
         vis_body: Optional[int] = None,
         interpret: bool = False,
         impulse_sweeps: int = 2,
+        controls_dtype=jnp.bfloat16,
     ):
+        # controls ride in VMEM for the whole rollout — (H,nu,8G,128) f32 can
+        # push the kernel past the 16 MB VMEM budget; bf16 perturbations lose
+        # <0.5% of noise resolution and halve that buffer
+        self.controls_dtype = controls_dtype
         self.impulse_sweeps = impulse_sweeps
         self.built = built
         self.engine = engine
@@ -120,7 +125,7 @@ class FusedRollout:
 
         def h_body(t, arr):
             st = self._unpack(arr)
-            u = V_ref[t]                                  # (nu, 8, 128)
+            u = V_ref[t].astype(jnp.float32)              # (nu, 8, 128)
             u_tiles = [u[j] for j in range(self.nu)]
             # command map: dof_target = W @ u (+ gripper binarize)
             tgt = []
@@ -185,7 +190,10 @@ class FusedRollout:
             ),
         )
 
+        ctl_dt = self.controls_dtype
+
         def run(state_arr, V_arr, mass_arr, fric_arr):
+            V_arr = V_arr.astype(ctl_dt)
             return pl.pallas_call(
                 self._kernel,
                 grid_spec=grid_spec,
