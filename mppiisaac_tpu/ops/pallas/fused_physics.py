@@ -714,8 +714,10 @@ def dynamics_lanes(scene, masks_list, state, pos, quat, linv, angv, axis_w,
             RI = [[sum(R[i][k] * float(Iinv[k][j]) for k in range(3)) for j in range(3)] for i in range(3)]
             invIw[b] = [[sum(RI[i][k] * R[j][k] for k in range(3)) / jnp.maximum(mass_scale[b], 1e-6) for j in range(3)] for i in range(3)]
 
+        # only normal-impulse accumulators persist across sweeps (λ ≥ 0
+        # projection); tangential impulses are capped per-sweep — a (3,)-tuple
+        # accumulator per candidate would add megabytes of VMEM stack
         lam_n = [0.0] * len(free_cands)
-        lam_t = [(0.0, 0.0, 0.0)] * len(free_cands)
 
         def body_vel_at(b, point):
             if b in body2actor:
@@ -753,11 +755,9 @@ def dynamics_lanes(scene, masks_list, state, pos, quat, linv, angv, axis_w,
                 imp = L.scale3(n, d_imp)
                 # friction (cone-projected accumulated tangential impulse)
                 vt = L.sub3(v_rel, L.scale3(n, vn))
-                vt_n = L.norm3(vt, eps=0.0)
                 k_t = k_n
                 jt_try = tuple(jnp.where(active, -vt[i] / k_t, 0.0) for i in range(3))
-                lt_new = L.add3(lam_t[ci], jt_try)
-                lt_norm = L.norm3(lt_new, eps=0.0)
+                jt_norm = L.norm3(jt_try, eps=0.0)
                 # friction cone: couple candidates are seeded with the stiff
                 # penalty's normal force (approximated without damping)
                 if c["has_b"] and (c["a_free"] != c["b_free"]):
@@ -768,10 +768,8 @@ def dynamics_lanes(scene, masks_list, state, pos, quat, linv, angv, axis_w,
                 fb_ = (fric_scale[c["gb_geom"]] if c["has_b"] else fa_) if fric_scale is not None else 1.0
                 mu_c = c["mu0"] * 0.5 * (fa_ + fb_)
                 cap = mu_c * (lam_n[ci] + fn_seed * dt)
-                sc = jnp.minimum(1.0, cap / jnp.maximum(lt_norm, 1e-9))
-                lt_new = L.scale3(lt_new, sc)
-                jt = L.sub3(lt_new, lam_t[ci])
-                lam_t[ci] = lt_new
+                sc = jnp.minimum(1.0, cap / jnp.maximum(jt_norm, 1e-9))
+                jt = L.scale3(jt_try, sc)
                 imp = L.add3(imp, jt)
                 for b, fr, sgn in ((c["ba"], c["a_free"], 1.0), (c["bb"], c["b_free"], -1.0)):
                     if not fr:

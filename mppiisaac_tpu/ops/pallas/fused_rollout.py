@@ -164,9 +164,9 @@ class FusedRollout:
             cost_ref[t] = self.cost_fn(view, t)
             if self.vis_body is not None:
                 vb = pos[self.vis_body]
-                vis_ref[t] = jnp.stack([vb[0], vb[1], vb[2]])
+                vis_ref[t] = jnp.stack([vb[0], vb[1], vb[2]]).astype(jnp.bfloat16)
             else:
-                vis_ref[t] = jnp.zeros((3, 8, 128), jnp.float32)
+                vis_ref[t] = jnp.zeros((3, 8, 128), jnp.bfloat16)
             return arr
 
         arr0 = state_ref[:]
@@ -199,7 +199,8 @@ class FusedRollout:
                 grid_spec=grid_spec,
                 out_shape=(
                     jax.ShapeDtypeStruct((H, 8 * G, 128), jnp.float32),
-                    jax.ShapeDtypeStruct((H, 3, 8 * G, 128), jnp.float32),
+                    # vis is display-only → bf16 halves its VMEM footprint
+                    jax.ShapeDtypeStruct((H, 3, 8 * G, 128), jnp.bfloat16),
                 ),
                 interpret=self.interpret,
             )(state_arr, V_arr, mass_arr, fric_arr)
@@ -246,5 +247,5 @@ class FusedRollout:
         fric_arr = self._to_lanes(params_K.geom_friction)
         costs_l, vis_l = self._run(state_arr, V_arr, mass_arr, fric_arr)
         costs = self._from_lanes(costs_l)                  # (K, H)
-        vis = jnp.moveaxis(self._from_lanes(vis_l), 0, 1)  # ((K,H,3)) → fix below
+        vis = jnp.moveaxis(self._from_lanes(vis_l.astype(jnp.float32)), 0, 1)  # (H,K,3)
         return costs, vis
