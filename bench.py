@@ -43,17 +43,21 @@ def main():
     state0 = (planner.sim.state, planner._params_K)
     print(f"build: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
 
+    import numpy as np
+
     t0 = time.perf_counter()
     for _ in range(WARMUP):
         a = planner.mppi._command(planner.mppi.carry, state0)
-    jax.block_until_ready(a[0])
+    float(np.asarray(a[0]).sum())
     print(f"compile+warmup: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
 
     carry = planner.mppi.carry
     t0 = time.perf_counter()
     for _ in range(ITERS):
         action, carry, info = planner.mppi._command(carry, state0)
-    jax.block_until_ready(action)
+    # block_until_ready on this backend reports dispatch, not execution — a
+    # host read is the documented way to truly synchronize before the clock
+    float(np.asarray(action).sum())
     dt = (time.perf_counter() - t0) / ITERS
 
     control_hz = 1.0 / dt

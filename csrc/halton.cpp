@@ -23,11 +23,17 @@ const int kPrimes[] = {
     661, 673, 677, 683, 691};
 const int kNumPrimes = sizeof(kPrimes) / sizeof(kPrimes[0]);
 
+// Multiplicatively scrambled radical inverse: digit d → (d·m) mod base with
+// m ≈ 0.618·base (golden-ratio stride). Plain Halton degenerates for
+// primes > n; scrambling equidistributes every dimension (the ghalton fix).
+// Must match mppi/sampling.py::_halton_numpy bit-for-bit.
 inline double radical_inverse(int64_t i, int base) {
+  int64_t m = static_cast<int64_t>(base * 0.61803398875);
+  if (m < 1) m = 1;
   double r = 0.0, f = 1.0;
   while (i > 0) {
     f /= base;
-    r += f * static_cast<double>(i % base);
+    r += f * static_cast<double>((i % base) * m % base);
     i /= base;
   }
   return r;

@@ -12,16 +12,23 @@ from __future__ import annotations
 
 import numpy as np
 
-_PRIMES = [
-    2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47, 53, 59, 61, 67,
-    71, 73, 79, 83, 89, 97, 101, 103, 107, 109, 113, 127, 131, 137, 139, 149,
-    151, 157, 163, 167, 173, 179, 181, 191, 193, 197, 199, 211, 223, 227, 229,
-    233, 239, 241, 251, 257, 263, 269, 271, 277, 281, 283, 293, 307, 311, 313,
-    317, 331, 337, 347, 349, 353, 359, 367, 373, 379, 383, 389, 397, 401, 409,
-    419, 421, 431, 433, 439, 443, 449, 457, 461, 463, 467, 479, 487, 491, 499,
-    503, 509, 521, 523, 541, 547, 557, 563, 569, 571, 577, 587, 593, 599, 601,
-    607, 613, 617, 619, 631, 641, 643, 647, 653, 659, 661, 673, 677, 683, 691,
-]
+def _primes(k: int) -> np.ndarray:
+    """First k primes (sieve, grown geometrically). The reference's ghalton
+    has no dimension cap; neither do we — long-horizon simple-mode sampling
+    needs H·nu distinct bases or noise correlates across the horizon."""
+    if k <= 0:
+        return np.zeros(0, np.int64)
+    limit = max(32, int(k * (np.log(max(k, 6)) + np.log(np.log(max(k, 6)))) * 1.2))
+    while True:
+        sieve = np.ones(limit + 1, bool)
+        sieve[:2] = False
+        for p in range(2, int(limit ** 0.5) + 1):
+            if sieve[p]:
+                sieve[p * p :: p] = False
+        ps = np.nonzero(sieve)[0]
+        if len(ps) >= k:
+            return ps[:k].astype(np.int64)
+        limit *= 2
 
 
 def _try_native_halton(n: int, dims: int, skip: int):
@@ -32,27 +39,38 @@ def _try_native_halton(n: int, dims: int, skip: int):
         return None
 
 
-def halton(n: int, dims: int, skip: int = 1) -> np.ndarray:
-    """(n, dims) uniform low-discrepancy points in (0,1)."""
-    if dims > len(_PRIMES):
-        raise ValueError(f"halton dims {dims} > {len(_PRIMES)} supported")
-    native = _try_native_halton(n, dims, skip)
-    if native is not None:
-        return native
+def _halton_numpy(n: int, dims: int, skip: int = 1) -> np.ndarray:
+    """Scrambled (generalized) Halton, numpy path — identical algorithm to
+    csrc/halton.cpp. Digits are multiplicatively scrambled per dimension:
+    π_b(d) = (d · m_b) mod b with m_b ≈ 0.618·b (golden-ratio stride). Plain
+    Halton degenerates for primes > n (consecutive indices cluster within a
+    1/b-wide band); scrambling equidistributes every dimension — the same fix
+    the reference's `ghalton` applies via digit permutations."""
+    primes = _primes(dims)
     out = np.empty((n, dims))
     idx = np.arange(skip, skip + n, dtype=np.int64)
     for d in range(dims):
-        b = _PRIMES[d]
+        b = int(primes[d])
+        m = max(1, int(b * 0.61803398875))
         r = np.zeros(n)
         f = 1.0
         i = idx.copy()
         while i.max() > 0:
             f /= b
-            r += f * (i % b)
+            r += f * ((i % b) * m % b)
             i //= b
         out[:, d] = r
     # keep strictly inside (0,1) for the normal inverse CDF
     return np.clip(out, 1e-6, 1 - 1e-6)
+
+
+def halton(n: int, dims: int, skip: int = 1) -> np.ndarray:
+    """(n, dims) uniform low-discrepancy points in (0,1). No dimension cap
+    (the native core covers its prime table; numpy takes over beyond it)."""
+    native = _try_native_halton(n, dims, skip)
+    if native is not None:
+        return native
+    return _halton_numpy(n, dims, skip)
 
 
 def _ndtri(u: np.ndarray) -> np.ndarray:

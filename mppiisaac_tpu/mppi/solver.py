@@ -86,9 +86,10 @@ class MPPIPlanner:
             sample_dims = H * nu
             self._n_knots = H
         if c.sampling_method == "halton":
-            dims = min(sample_dims, 128)
-            self._halton_base = jnp.asarray(halton(K, dims, skip=1), jnp.float32)
-            self._halton_dims = dims
+            # full-width table: ghalton has no dimension cap, and tiling a
+            # capped table would correlate noise across horizon steps
+            self._halton_base = jnp.asarray(halton(K, sample_dims, skip=1), jnp.float32)
+            self._halton_dims = sample_dims
             self._sample_dims = sample_dims
         else:
             self._halton_base = None
@@ -133,12 +134,14 @@ class MPPIPlanner:
         if c.sampling_method == "halton":
             # Cranley–Patterson rotation refreshes the deterministic table
             shift = jax.random.uniform(key, (self._sample_dims,))
-            if self._sample_dims <= self._halton_dims:
-                u01 = jnp.mod(self._halton_base[:, : self._sample_dims] + shift, 1.0)
-            else:
-                reps = -(-self._sample_dims // self._halton_dims)
-                tiled = jnp.tile(self._halton_base, (1, reps))[:, : self._sample_dims]
-                u01 = jnp.mod(tiled + shift, 1.0)
+            base = self._halton_base
+            if base.shape[0] != K:
+                # sharded solver: the table is the GLOBAL K_total-point set and
+                # this shard owns a distinct K-row slice — the union of shards
+                # stays one low-discrepancy set (same CP shift everywhere)
+                idx = jax.lax.axis_index(self.axis_name) * K
+                base = jax.lax.dynamic_slice_in_dim(base, idx, K, 0)
+            u01 = jnp.mod(base + shift, 1.0)
             z = jax.scipy.special.ndtri(jnp.clip(u01, 1e-6, 1 - 1e-6))
             z = z.reshape(K, self._n_knots, nu)
         else:

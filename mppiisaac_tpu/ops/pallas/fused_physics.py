@@ -714,10 +714,14 @@ def dynamics_lanes(scene, masks_list, state, pos, quat, linv, angv, axis_w,
             RI = [[sum(R[i][k] * float(Iinv[k][j]) for k in range(3)) for j in range(3)] for i in range(3)]
             invIw[b] = [[sum(RI[i][k] * R[j][k] for k in range(3)) / jnp.maximum(mass_scale[b], 1e-6) for j in range(3)] for i in range(3)]
 
-        # only normal-impulse accumulators persist across sweeps (λ ≥ 0
-        # projection); tangential impulses are capped per-sweep — a (3,)-tuple
-        # accumulator per candidate would add megabytes of VMEM stack
+        # per-candidate accumulators persisting across sweeps: the normal
+        # impulse λ_n (≥ 0 projection) and ONE scalar tangential magnitude —
+        # without it, each sweep re-applies friction up to the full cone and
+        # total friction can reach sweeps× the cone in sliding regimes. A
+        # (3,)-tuple tangential accumulator would triple the VMEM cost; the
+        # scalar magnitude bound is enough to keep Σ‖jt‖ inside the cone.
         lam_n = [0.0] * len(free_cands)
+        lam_t_mag = [0.0] * len(free_cands)
 
         def body_vel_at(b, point):
             if b in body2actor:
@@ -768,8 +772,10 @@ def dynamics_lanes(scene, masks_list, state, pos, quat, linv, angv, axis_w,
                 fb_ = (fric_scale[c["gb_geom"]] if c["has_b"] else fa_) if fric_scale is not None else 1.0
                 mu_c = c["mu0"] * 0.5 * (fa_ + fb_)
                 cap = mu_c * (lam_n[ci] + fn_seed * dt)
-                sc = jnp.minimum(1.0, cap / jnp.maximum(jt_norm, 1e-9))
+                cap_left = jnp.maximum(cap - lam_t_mag[ci], 0.0)
+                sc = jnp.minimum(1.0, cap_left / jnp.maximum(jt_norm, 1e-9))
                 jt = L.scale3(jt_try, sc)
+                lam_t_mag[ci] = lam_t_mag[ci] + jt_norm * sc
                 imp = L.add3(imp, jt)
                 for b, fr, sgn in ((c["ba"], c["a_free"], 1.0), (c["bb"], c["b_free"], -1.0)):
                     if not fr:

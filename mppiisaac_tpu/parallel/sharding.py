@@ -70,6 +70,15 @@ def sharded_command(planner_mppi, mesh: Mesh):
     )
     # global softmax: β/η/Σwε reductions inside _command_impl become psums
     local.axis_name = "k"
+    if shard_cfg.sampling_method == "halton":
+        # give every shard a distinct slice of the GLOBAL K-point Halton set
+        # (per-shard K/n tables + independent shifts would overlay n copies
+        # of the same points instead of one low-discrepancy set)
+        from ..mppi.sampling import halton as _halton
+
+        local._halton_base = jnp.asarray(
+            _halton(K, local._sample_dims, skip=1), jnp.float32
+        )
 
     @partial(
         jax.shard_map,
@@ -79,7 +88,11 @@ def sharded_command(planner_mppi, mesh: Mesh):
     )
     def cmd(carry, state0):
         shard_id = jax.lax.axis_index("k")
-        carry_l = carry._replace(key=jax.random.fold_in(carry.key, shard_id))
+        if shard_cfg.sampling_method == "halton":
+            # same key everywhere → same CP shift; rows differ by table slice
+            carry_l = carry
+        else:
+            carry_l = carry._replace(key=jax.random.fold_in(carry.key, shard_id))
         action, new_carry, info = local._command_impl(carry_l, state0)
         # all shards produce identical U/action thanks to global reductions;
         # return shard 0's copies

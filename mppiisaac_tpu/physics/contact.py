@@ -534,10 +534,12 @@ def impulse_contact_pass(
     def k_dir(d):
         """effective inverse mass along direction d (n,3)."""
         ka = inv_m_t[ba] + jnp.einsum(
-            "ni,nij,nj->n", jnp.cross(r_a, d), inv_I_w[ba], jnp.cross(r_a, d)
+            "ni,nij,nj->n", jnp.cross(r_a, d), inv_I_w[ba], jnp.cross(r_a, d),
+            precision=jax.lax.Precision.HIGHEST,
         )
         kb = inv_m_t[bb] + jnp.einsum(
-            "ni,nij,nj->n", jnp.cross(r_b, d), inv_I_w[bb], jnp.cross(r_b, d)
+            "ni,nij,nj->n", jnp.cross(r_b, d), inv_I_w[bb], jnp.cross(r_b, d),
+            precision=jax.lax.Precision.HIGHEST,
         )
         return amask * ka + bmask * kb
 
@@ -601,7 +603,9 @@ def impulse_contact_pass(
             jnp.matmul(A_a, tor_a, precision=jax.lax.Precision.HIGHEST)
             + jnp.matmul(A_b, tor_b, precision=jax.lax.Precision.HIGHEST)
         )
-        dang = jnp.einsum("bij,bj->bi", inv_I_w, dang_t)
+        dang = jnp.einsum(
+            "bij,bj->bi", inv_I_w, dang_t, precision=jax.lax.Precision.HIGHEST
+        )
         lin = lin + dlin
         ang = ang + dang
 

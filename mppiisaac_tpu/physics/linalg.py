@@ -12,6 +12,16 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
+def solve_psd_multi(M: jnp.ndarray, B: jnp.ndarray, eps: float = 1e-9) -> jnp.ndarray:
+    """Solve M X = B for SPD M with multiple right-hand sides.
+    M: (..., n, n), B: (..., n, m) → X: (..., n, m). Column-wise solve_psd;
+    the unrolled factor subexpressions are identical across columns so XLA
+    CSEs them into one factorization."""
+    m = B.shape[-1]
+    cols = [solve_psd(M, B[..., j]) for j in range(m)]
+    return jnp.stack(cols, axis=-1)
+
+
 def solve_psd(M: jnp.ndarray, b: jnp.ndarray, eps: float = 1e-9) -> jnp.ndarray:
     """Solve M x = b for SPD M. M: (..., n, n), b: (..., n); n static ≤ ~32."""
     n = M.shape[-1]

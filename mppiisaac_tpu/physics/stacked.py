@@ -404,7 +404,7 @@ def spatial_inertias(m: StackedModel, body_pos, body_quat, mass_scale):
     mass = jnp.asarray(m.mass, dt_) * mass_scale
     R = quat_to_matrix(body_quat)
     I_com = jnp.asarray(m.inertia, dt_) * mass_scale[:, None, None]
-    c = body_pos + jnp.einsum("bij,bj->bi", R, jnp.asarray(m.com, dt_))
+    c = body_pos + jnp.einsum("bij,bj->bi", R, jnp.asarray(m.com, dt_), precision=_PREC)
     Iw_rot = jnp.einsum("bij,bjk,blk->bil", R, I_com, R, precision=_PREC)
     C = _skew(c)
     mC = mass[:, None, None] * C

@@ -38,6 +38,9 @@ class MPPIisaacPlanner:
     ):
         self.cfg = cfg
         self.objective = objective
+        self._prior = prior
+        self._randomize = randomize
+        self._use_fused = use_fused
         K = cfg.mppi.num_samples
 
         self.sim = Simulation(
@@ -49,6 +52,32 @@ class MPPIisaacPlanner:
             randomize=randomize,
             seed=cfg.mppi.seed_val,
         )
+        self._build_solver()
+
+    def _build_solver(self):
+        """(Re)build everything downstream of the sim: rollout closures, the
+        fused kernel, the MPPI solver and the jitted full-command program.
+        Called from __init__ and whenever the scene (add_to_env) or a
+        structural solver knob (update_mppi_params) changes — the functional
+        analog of the reference's planner rebuild (`mppi_isaac.py:129-137`)."""
+        cfg = self.cfg
+        objective = self.objective
+        prior = self._prior
+        randomize = self._randomize
+        use_fused = self._use_fused
+        K = cfg.mppi.num_samples
+        if self.sim.num_envs != K:
+            # num_samples changed: the rollout sim is K-batched → rebuild it
+            # (the reference's rollout sim is likewise num_envs=K)
+            self.sim = Simulation(
+                cfg=cfg.isaacgym,
+                actors=cfg.actors,
+                init_positions=cfg.initial_actor_positions,
+                num_envs=K,
+                device=cfg.mppi.device,
+                randomize=randomize,
+                seed=cfg.mppi.seed_val,
+            )
         built = self.sim.built
         engine = self.sim.engine
         params_K = self.sim.params if randomize else None
@@ -133,8 +162,21 @@ class MPPIisaacPlanner:
     def built(self):
         return self.sim.built
 
+    def _retrace(self):
+        """Re-trace every compiled program that closes over the objective /
+        prior / weights (the fused kernel's cost_fn closure included)."""
+        self.mppi.retrace()
+        self._full_command = jax.jit(self._full_command.__wrapped__)
+
     def update_objective(self, objective):
+        """Replace the objective (benchmark setGoal path). The fused kernel's
+        cost_fn is a closure over the OLD objective instance — rebuild it from
+        the new one before retracing, or trials 2+ keep chasing trial 1's
+        goal."""
         self.objective = objective
+        if self.mppi.fused is not None and hasattr(objective, "kernel_cost"):
+            self.mppi.fused.cost_fn = objective.kernel_cost(self.built.scene)
+        self._retrace()
 
     # ------------------------------------------------------------------
     def _command_from_current_state(self) -> jnp.ndarray:
@@ -160,6 +202,13 @@ class MPPIisaacPlanner:
         root = bytes_to_jnp(root_state_tensor)     # (A,13)
         if dof.ndim == 1:
             dof = dof.reshape(-1, 2)
+        A = self.sim.built.scene.nactor
+        if root.reshape(-1, 13).shape[0] != A:
+            raise ValueError(
+                f"root_state covers {root.reshape(-1, 13).shape[0]} actors but the "
+                f"planner scene has {A} — after add_to_env the world must send "
+                f"state for the SAME actor list (reference restarts both sims)"
+            )
         K = self.cfg.mppi.num_samples
         st = self.sim.state
         st = st.with_dof_state(jnp.broadcast_to(dof, (K,) + dof.shape))
@@ -196,9 +245,15 @@ class MPPIisaacPlanner:
         return jnp_to_bytes(self._command_from_current_state())
 
     def add_to_env(self, env_cfg_additions):
+        """Scene mutation RPC (reference `mppi_isaac.py:115-116` →
+        `isaacgym_wrapper.py:423-427`): the sim rebuilds itself with the new
+        actors (preserving pre-existing poses), and the solver closures are
+        rebuilt over the NEW scene — keeping the mutated actor list, the
+        objective, and the prior (a fresh __init__ from the original
+        cfg.actors would silently drop all three)."""
         self.sim.add_to_envs(env_cfg_additions)
-        # geometry changed → rebuild the solver closures over the new scene
-        self.__init__(self.cfg, self.objective, randomize=False)
+        self.cfg.actors = list(self.sim.env_cfg)
+        self._build_solver()
 
     def get_rollouts(self) -> bytes:
         """(H, K, 3) visualize-link trajectories of the last command
@@ -216,12 +271,37 @@ class MPPIisaacPlanner:
         """Online re-tuning RPC (reference `mppi_isaac.py:126-127`). The cost
         closure is traced into the compiled command, so retrace."""
         self.objective.weights = weights
-        self.mppi.retrace()
-        self._full_command = jax.jit(self._full_command.__wrapped__)
+        self._retrace()
+
+    # structural knobs whose change requires a full solver rebuild (shapes /
+    # static sampling bases / kernel dims change) — the reference rebuilds its
+    # MPPIPlanner wholesale for ANY param change (`mppi_isaac.py:129-137`)
+    _STRUCTURAL_PARAMS = frozenset(
+        {
+            "horizon", "num_samples", "mppi_mode", "sampling_method",
+            "u_per_command", "filter_u", "knot_scale", "spline_degree",
+        }
+    )
 
     def update_mppi_params(self, params):
+        structural = False
+        for k, v in params.items():
+            if k == "noise_sigma":
+                continue
+            if hasattr(self.cfg.mppi, k):
+                setattr(self.cfg.mppi, k, v)
+                # the solver holds a resolved COPY of the config — mirror
+                # non-structural fields onto it so the retrace sees them
+                setattr(self.mppi.cfg, k, v)
+                if k in self._STRUCTURAL_PARAMS:
+                    structural = True
+        if structural:
+            self._build_solver()
         if "noise_sigma" in params:
             self.mppi.update_noise_sigma(params["noise_sigma"])
-        for k, v in params.items():
-            if k != "noise_sigma" and hasattr(self.mppi.cfg, k):
-                setattr(self.mppi.cfg, k, v)
+        if not structural:
+            # non-structural fields (lambda_, u_scale, bounds, …) are traced
+            # constants inside the compiled command — retrace to apply them
+            non_noise = [k for k in params if k != "noise_sigma"]
+            if non_noise:
+                self._retrace()

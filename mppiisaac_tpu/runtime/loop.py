@@ -30,6 +30,7 @@ class LoopMetrics:
     path_length: float = 0.0
     steps: int = 0
     success_step: Optional[int] = None
+    final_state_finite: bool = True
 
     def summary(self) -> dict:
         return {
@@ -107,4 +108,10 @@ def run_task(
             break
         if real_time and actual < dt:
             time.sleep(dt - actual)
+    metrics.final_state_finite = bool(
+        all(
+            np.isfinite(np.asarray(leaf)).all()
+            for leaf in jax.tree.leaves(world.state)
+        )
+    )
     return metrics

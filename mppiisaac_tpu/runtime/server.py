@@ -88,7 +88,12 @@ class Server:
                     result = getattr(self.obj, method)(*args, **kwargs)
                     _send_msg(conn, (True, result))
                 except Exception as e:  # report remote errors like zerorpc
-                    _send_msg(conn, (False, f"{type(e).__name__}: {e}"))
+                    import traceback
+
+                    _send_msg(
+                        conn,
+                        (False, f"{type(e).__name__}: {e}\n{traceback.format_exc()}"),
+                    )
         finally:
             conn.close()
 

@@ -100,3 +100,28 @@ def test_update_noise_sigma():
     planner.update_noise_sigma([[0.2, 0.0], [0.0, 0.2]])
     np.testing.assert_allclose(np.asarray(planner.carry.sigma), 0.2 * np.eye(2), atol=1e-6)
     planner.command(jnp.zeros((128, 2)))  # recompiles fine
+
+
+def test_halton_beyond_128_dims():
+    """No dimension cap (reference ghalton has none): simple-mode H=30, nu=7
+    needs 210 distinct bases — tiling a capped table would correlate noise
+    across horizon steps."""
+    pts = halton(64, 210)
+    assert pts.shape == (64, 210)
+    assert pts.min() > 0 and pts.max() < 1
+    # distinct bases → columns are not duplicates of each other (the old
+    # 128-cap tiled column d and column d+128 identically)
+    assert not np.allclose(pts[:, 0], pts[:, 128])
+    assert not np.allclose(pts[:, 5], pts[:, 133])
+    np.testing.assert_allclose(pts.mean(0), 0.5, atol=0.12)
+
+
+def test_simple_mode_full_width_table():
+    """Solver in simple mode with sample_dims > 128 gets a full-width table."""
+    cfg = MPPIConfig(
+        num_samples=32, horizon=30, mppi_mode="simple", sampling_method="halton",
+        noise_sigma=(np.eye(7) * 0.5).tolist(), u_min=-1.0, u_max=1.0,
+    )
+    p = MPPIPlanner(cfg, 7, dynamics=lambda s, u, t: s, running_cost=lambda s, t: jnp.zeros(()))
+    assert p._sample_dims == 30 * 7
+    assert p._halton_base.shape == (32, 210)

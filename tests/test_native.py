@@ -18,18 +18,7 @@ def test_native_halton_matches_numpy():
     # numpy reference implementation (mppi/sampling.py fallback)
     from mppiisaac_tpu.mppi import sampling
 
-    ref = np.empty((256, 8))
-    idx = np.arange(5, 5 + 256, dtype=np.int64)
-    for d in range(8):
-        b = sampling._PRIMES[d]
-        r = np.zeros(256)
-        f = 1.0
-        i = idx.copy()
-        while i.max() > 0:
-            f /= b
-            r += f * (i % b)
-            i //= b
-        ref[:, d] = np.clip(r, 1e-6, 1 - 1e-6)
+    ref = sampling._halton_numpy(256, 8, skip=5)
     np.testing.assert_allclose(nat, ref, atol=1e-12)
 
 

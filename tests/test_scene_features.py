@@ -81,3 +81,53 @@ def test_domain_randomization_per_env():
     assert np.std(ms[:, block_bodies]) > 0.01      # envs differ
     fric = np.asarray(sim.params.geom_friction)
     assert np.std(fric) > 0.01
+
+
+def test_planner_add_to_env_rpc():
+    """Planner-level add_to_env (reference `mppi_isaac.py:115-116`): the RPC
+    must rebuild the ROLLOUT scene with the addition — a fresh __init__ from
+    the original cfg.actors silently drops it (round-1 bug)."""
+    from mppiisaac_tpu.planner.mppi_isaac import MPPIisaacPlanner
+    from mppiisaac_tpu.tasks.point_robot import PointRobotObjective
+    from mppiisaac_tpu.utils.config_store import load_config
+
+    cfg = load_config(
+        "tasks/point_robot", ["mppi.num_samples=8", "mppi.horizon=4"]
+    )
+    planner = MPPIisaacPlanner(cfg, PointRobotObjective(cfg), randomize=False)
+    n_actors = len(planner.sim.built.specs)
+    a0 = planner.compute_action(np.zeros(3), np.zeros(3))
+    planner.add_to_env([
+        {"type": "sphere", "name": "added_obstacle", "size": [0.3],
+         "init_pos": [1.0, 0.0, 0.3], "mass": 1.0, "fixed": True}
+    ])
+    # the rollout sim now contains the addition
+    assert len(planner.sim.built.specs) == n_actors + 1
+    assert any(s.name == "added_obstacle" for s in planner.sim.built.specs)
+    assert "added_obstacle" in [a.name for a in planner.cfg.actors] or any(
+        getattr(a, "name", None) == "added_obstacle" for a in planner.cfg.actors
+    )
+    # and the planner still plans (rollout scene retraced over the new scene)
+    a1 = planner.compute_action(np.zeros(3), np.zeros(3))
+    assert np.all(np.isfinite(a1)) and a1.shape == a0.shape
+
+
+def test_planner_update_mppi_params_structural():
+    """Changing horizon/num_samples must take effect (reference rebuilds the
+    planner, `mppi_isaac.py:129-137`; round-1 silently ignored them)."""
+    from mppiisaac_tpu.planner.mppi_isaac import MPPIisaacPlanner
+    from mppiisaac_tpu.tasks.point_robot import PointRobotObjective
+    from mppiisaac_tpu.utils.config_store import load_config
+
+    cfg = load_config(
+        "tasks/point_robot", ["mppi.num_samples=8", "mppi.horizon=4"]
+    )
+    planner = MPPIisaacPlanner(cfg, PointRobotObjective(cfg), randomize=False)
+    planner.compute_action(np.zeros(3), np.zeros(3))
+    planner.update_mppi_params({"horizon": 6, "num_samples": 16, "noise_sigma": (np.eye(3) * 0.4).tolist()})
+    assert planner.mppi.cfg.horizon == 6
+    assert planner.mppi.cfg.num_samples == 16
+    assert planner.mppi.carry.U.shape[0] == 6
+    np.testing.assert_allclose(np.asarray(planner.mppi.carry.sigma), np.eye(3) * 0.4, atol=1e-6)
+    a = planner.compute_action(np.zeros(3), np.zeros(3))
+    assert np.all(np.isfinite(a))

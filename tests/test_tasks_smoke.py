@@ -9,11 +9,13 @@ OVR = ["mppi.num_samples=16", "n_steps=3", "mppi.horizon=6"]
 def _run(mod_run, **kw):
     m = mod_run(overrides=OVR, randomize=False, **kw)
     assert m.steps >= 1
+    _assert_finite(m)
     return m
 
 
-def _assert_finite(world_metrics):
-    pass
+def _assert_finite(m):
+    assert m.final_state_finite, "world sim state went non-finite (NaN/Inf)"
+    assert np.isfinite(m.path_length)
 
 
 @pytest.mark.slow
