@@ -118,7 +118,6 @@ class FusedRollout:
         substeps = self.engine.substeps
         cmdW = self.built.cmd_map.W                      # (D, nu) static
         binarize = self.built.cmd_map.binarize_dofs
-        bval = self.built.cmd_map.binarize_value
 
         mass_tiles = [mass_ref[b] for b in range(self.B)]
         fric_tiles = [fric_ref[g] for g in range(self.scene.ngeom)]
@@ -138,8 +137,8 @@ class FusedRollout:
                 if isinstance(acc, float):
                     acc = jnp.zeros_like(u_tiles[0])
                 tgt.append(acc)
-            for dof, src in binarize:
-                tgt[dof] = jnp.where(u_tiles[src] > 0.0, bval, -bval)
+            for dof, src, lo, hi in binarize:
+                tgt[dof] = jnp.where(u_tiles[src] > 0.0, hi, lo)
             st["dof_target"] = tgt
 
             def sub_body(_, arr_s):

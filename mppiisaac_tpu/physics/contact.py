@@ -53,6 +53,12 @@ class ContactTables:
     kn_base_soft: np.ndarray = field(default_factory=lambda: np.zeros(0))  # mass-scaled (stable on free bodies)
     a_free: np.ndarray = field(default_factory=lambda: np.zeros(0, np.float32))
     b_free: np.ndarray = field(default_factory=lambda: np.zeros(0, np.float32))
+    # two-way impulse coupling (grasping): side is on a dynamic ARTICULATED
+    # actor and the other side is free → the articulated side joins the
+    # impulse pass through its joint-space effective mass J M⁻¹ Jᵀ
+    a_art: np.ndarray = field(default_factory=lambda: np.zeros(0, np.float32))
+    b_art: np.ndarray = field(default_factory=lambda: np.zeros(0, np.float32))
+    art_bodies: tuple = ()       # body indices needing an operational-space Ψ
     acc_a: np.ndarray = field(default_factory=lambda: np.zeros((0, 0), np.float32))  # (B, n_con) +1 one-hot
     acc_b: np.ndarray = field(default_factory=lambda: np.zeros((0, 0), np.float32))  # (B, n_con) +1 one-hot (0 for plane)
 
@@ -149,19 +155,32 @@ def build_contact_tables(scene: SceneModel) -> ContactTables:
     # free side keeps the mass-scaled (stable) stiffness — its fidelity comes
     # from the impulse pass
     free = _free_body_mask(scene)
+    art = _articulated_body_mask(scene)
     meff_soft = meff.copy()
     tau_ref = max(2.0 * (scene.dt / max(scene.substeps, 1)), 1e-3)
     a_free_l = np.zeros(n, np.float32)
     b_free_l = np.zeros(n, np.float32)
+    a_art_l = np.zeros(n, np.float32)
+    b_art_l = np.zeros(n, np.float32)
+    art_bodies: set = set()
     for c, (a, b) in enumerate(zip(ga_l, gb_l)):
-        a_free_l[c] = free[scene.geom_body[a]]
+        ba_ = scene.geom_body[a]
+        a_free_l[c] = free[ba_]
         if b >= 0:
             b_free_l[c] = free[scene.geom_body[b]]
-        fa_ = free[scene.geom_body[a]] > 0
+        fa_ = free[ba_] > 0
         fb_ = b >= 0 and free[scene.geom_body[b]] > 0
         if fa_ != fb_:
             # kn = kn_base/τ² at runtime → bake τ² back in for a fixed value
             meff[c] = scene.couple_stiffness * tau_ref * tau_ref
+        # articulated↔free: the articulated side is solved TWO-WAY in the
+        # impulse pass (J M⁻¹ Jᵀ effective mass) — the grasping fix
+        if fb_ and art[ba_] > 0:
+            a_art_l[c] = 1.0
+            art_bodies.add(int(ba_))
+        if fa_ and b >= 0 and art[scene.geom_body[b]] > 0:
+            b_art_l[c] = 1.0
+            art_bodies.add(int(scene.geom_body[b]))
     mu = np.asarray([
         0.5 * (scene.geom_friction[a] + scene.geom_friction[b]) if b >= 0
         else scene.geom_friction[a]
@@ -188,6 +207,7 @@ def build_contact_tables(scene: SceneModel) -> ContactTables:
         con_geom_a=ga_arr, con_geom_b=gb_arr,
         kn_base=meff / npts, kn_base_soft=meff_soft / npts, mu_base=mu,
         a_free=a_free_l, b_free=b_free_l,
+        a_art=a_art_l, b_art=b_art_l, art_bodies=tuple(sorted(art_bodies)),
         acc_a=acc_a, acc_b=acc_b,
     )
 
@@ -409,17 +429,23 @@ def compute_contact_forces(
         ft = -(mu * fn / jnp.maximum(vt_norm, eps_v))[..., None] * vt
         return fn[..., None] * normal + ft, fn
 
-    # side-asymmetric penalty: stiff (couple) stiffness felt by articulated/
-    # fixed bodies, mass-scaled (stable) stiffness felt by free bodies —
-    # free-body fidelity comes from the impulse pass layered on top
+    # side-asymmetric penalty: stiff (couple) stiffness felt by fixed bodies,
+    # mass-scaled (stable) stiffness felt by free bodies. The DYNAMIC
+    # articulated side of a couple contact gets NO explicit force here — an
+    # explicit stiff spring-damper on a 15 g finger is unconditionally
+    # unstable (500 N kicks at contact onset); its reaction is applied
+    # IMPLICITLY inside the articulated velocity solve (stacked_substep adds
+    # dt(kd+dt·kn)·JᵀJ to the mass matrix), which is what lets grippers grasp.
     kn_soft = jnp.asarray(tables.kn_base_soft / (tau_c * tau_c), dt_)
     kd_soft = 2.0 * zeta * jnp.asarray(tables.kn_base_soft / tau_c, dt_)
     force_stiff, fn_stiff = force_with(kn, kd)
     force_soft, _ = force_with(kn_soft, kd_soft)
     af = jnp.asarray(tables.a_free, dt_)[:, None]
     bf = jnp.asarray(tables.b_free, dt_)[:, None]
-    force_a = jnp.where(af > 0, force_soft, force_stiff)
-    force_b = jnp.where(bf > 0, force_soft, force_stiff)
+    a_cpl = jnp.asarray(tables.a_art, dt_)[:, None]
+    b_cpl = jnp.asarray(tables.b_art, dt_)[:, None]
+    force_a = jnp.where(af > 0, force_soft, jnp.where(a_cpl > 0, 0.0, force_stiff))
+    force_b = jnp.where(bf > 0, force_soft, jnp.where(b_cpl > 0, 0.0, force_stiff))
     plk_a = jnp.concatenate([jnp.cross(point, force_a), force_a], axis=-1)
     plk_b = jnp.concatenate([jnp.cross(point, force_b), force_b], axis=-1)
 
@@ -459,6 +485,18 @@ def _free_body_mask(scene: SceneModel) -> np.ndarray:
     return mask
 
 
+def _articulated_body_mask(scene: SceneModel) -> np.ndarray:
+    """(B,) 1.0 where the body belongs to a DYNAMIC articulated actor (one
+    that participates in the generalized solve and is not a free single rigid
+    body) — these sides can join the impulse pass via J M⁻¹ Jᵀ."""
+    mask = np.zeros(scene.nbody, np.float32)
+    for ai, a in enumerate(scene.actors):
+        if a.ndof > 0 or (not a.fixed_base and a.nbody > 1):
+            o = scene.body_offset[ai]
+            mask[o : o + a.nbody] = 1.0
+    return mask
+
+
 def impulse_contact_pass(
     scene: SceneModel,
     tables: ContactTables,
@@ -472,8 +510,12 @@ def impulse_contact_pass(
     iters: int = 16,
     beta: float = 0.2,
     slop: float = 2e-3,
+    psi=None,           # (B,6,6) articulated operational-space inverse inertia
+    art_apply=None,     # (Y (B,6)) -> ΔV (B,6) exact generalized response
+    lam_warm=None,      # (n_con,4) [λ_n, λ_t] persistent-contact warm start
 ):
-    """Velocity-impulse contact resolution for FREE rigid bodies.
+    """Velocity-impulse contact resolution for free rigid bodies, with
+    optional TWO-WAY coupling to articulated actors.
 
     The compliant penalty law scales stiffness with effective mass, which is
     correct for settling but cannot resist actuation: a 70 N gripper drive
@@ -482,15 +524,33 @@ def impulse_contact_pass(
     grasping depends on it). This pass treats contacts of free single-rigid
     bodies as velocity-level constraints: Jacobi-relaxed projected impulses
     with Baumgarte stabilization and a friction cone — unconditionally stable
-    and mass-independent. Articulated/fixed bodies act kinematically here (their
-    reaction comes from the penalty law).
+    and mass-independent.
 
-    Returns (new_linvel (B,3), new_angvel (B,3), net_cf_free (B,3)).
+    When `psi` is given, articulated↔free contacts (tables.a_art/b_art) are
+    solved two-way: the articulated side contributes its joint-space effective
+    mass Xᵀ(Φ M⁻¹ Φᵀ)X (Ψ = Φ M⁻¹ Φᵀ precomputed per contact link by the
+    caller from the SAME damped mass matrix as the velocity solve), its
+    contact-point velocity is updated by Ψ·Y every iteration, and the total
+    spatial impulse per link is returned so the caller can fold ΔU = M⁻¹ΦᵀY
+    back into the generalized velocities. Without `psi`, articulated/fixed
+    bodies act kinematically (round-1 behavior — corner-first squeezes could
+    eject a grasped block).
+
+    When `lam_warm` is given, the pass warm-starts from the previous substep's
+    converged impulses (PhysX-style persistent contacts — candidates are a
+    static table, so row c is always the same pair). Essential for grasp
+    transport: cold-started Jacobi leaves a ~3% stiction residual of the
+    per-substep gravity kick (≈6 mm/s drift) that walks a held block off the
+    finger pads; warm-started, the residual decays across substeps instead.
+
+    Returns (new_linvel (B,3), new_angvel (B,3), net_cf (B,3), Y_total (B,6),
+    lam_out (n_con,4)).
     """
-    if contact_geom is None or tables.n_con == 0:
-        return body_linvel, body_angvel, jnp.zeros_like(body_pos)
     dt_ = body_pos.dtype
     B = scene.nbody
+    if contact_geom is None or tables.n_con == 0:
+        return (body_linvel, body_angvel, jnp.zeros_like(body_pos),
+                jnp.zeros((B, 6), dt_), jnp.zeros((tables.n_con, 4), dt_))
     free = _free_body_mask(scene)
     ba = scene.geom_body[tables.con_geom_a]                   # static (n,)
     fb_idx = np.where(tables.con_geom_b >= 0, tables.con_geom_b, tables.con_geom_a)
@@ -498,9 +558,12 @@ def impulse_contact_pass(
     has_b = (tables.con_geom_b >= 0).astype(np.float32)
     a_free = free[ba]                                         # static (n,)
     b_free = free[bb] * has_b
+    a_art = tables.a_art if psi is not None else np.zeros_like(a_free)
+    b_art = tables.b_art if psi is not None else np.zeros_like(b_free)
     touched = (a_free + b_free) > 0
     if not touched.any():
-        return body_linvel, body_angvel, jnp.zeros_like(body_pos)
+        return (body_linvel, body_angvel, jnp.zeros_like(body_pos),
+                jnp.zeros((B, 6), dt_), jnp.zeros((tables.n_con, 4), dt_))
 
     point = contact_geom["point"]
     normal = contact_geom["normal"]
@@ -530,6 +593,8 @@ def impulse_contact_pass(
     r_b = point - body_pos[bb]
     amask = jnp.asarray(a_free, dt_)
     bmask = jnp.asarray(b_free, dt_)
+    amask_art = jnp.asarray(a_art, dt_)
+    bmask_art = jnp.asarray(b_art, dt_)
 
     def k_dir(d):
         """effective inverse mass along direction d (n,3)."""
@@ -541,7 +606,19 @@ def impulse_contact_pass(
             "ni,nij,nj->n", jnp.cross(r_b, d), inv_I_w[bb], jnp.cross(r_b, d),
             precision=jax.lax.Precision.HIGHEST,
         )
-        return amask * ka + bmask * kb
+        k = amask * ka + bmask * kb
+        if psi is not None:
+            # articulated side: k = XᵀΨX with X = (p×d, d) about world origin
+            X = jnp.concatenate([jnp.cross(point, d), d], -1)     # (n,6)
+            k = k + amask_art * jnp.einsum(
+                "ni,nij,nj->n", X, psi[ba], X,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            k = k + bmask_art * jnp.einsum(
+                "ni,nij,nj->n", X, psi[bb], X,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        return k
 
     k_n = jnp.maximum(k_dir(normal), 1e-9)
     # depenetration velocity cap: an over-constrained pinch (gripper vice +
@@ -554,8 +631,6 @@ def impulse_contact_pass(
 
     lin = body_linvel
     ang = body_angvel
-    lam_n = jnp.zeros(tables.n_con, dt_)
-    lam_t = jnp.zeros((tables.n_con, 3), dt_)
     # mass-splitting Jacobi: scale each contact's effective mass by the number
     # of active contacts on its body, then relax ≈ 1 — converges like
     # Gauss–Seidel on symmetric manifolds (plain Jacobi diverges or crawls on
@@ -563,36 +638,13 @@ def impulse_contact_pass(
     relax = 0.9
     A_a_bin = jnp.asarray(tables.acc_a, dt_)
     A_b_bin = jnp.asarray(tables.acc_b, dt_)
+    A_a_art = A_a_bin * amask_art[None, :]
+    A_b_art = A_b_bin * bmask_art[None, :]
+    Y_total = jnp.zeros((B, 6), dt_)
 
-    for _ in range(iters):
-        va = lin[ba] + jnp.cross(ang[ba], r_a)
-        vb = lin[bb] + jnp.cross(ang[bb], r_b)
-        v_rel = va - vb * jnp.asarray(has_b, dt_)[:, None]
-        vn = jnp.sum(v_rel * normal, -1)
-        act_f = active.astype(dt_)
-        count = jnp.matmul(A_a_bin, act_f, precision=jax.lax.Precision.HIGHEST) + jnp.matmul(
-            A_b_bin, act_f, precision=jax.lax.Precision.HIGHEST
-        )
-        n_eff = jnp.maximum(amask * count[ba] + bmask * count[bb], 1.0)
-        d_lam = jnp.where(active, -(vn - target) / (k_n * n_eff) * relax, 0.0)
-        new_lam = jnp.maximum(lam_n + d_lam, 0.0)
-        d_imp = new_lam - lam_n
-        lam_n = new_lam
-        imp = normal * d_imp[:, None]
-        # friction: tangential impulse, cone-projected against λ_n
-        vt = v_rel - vn[:, None] * normal
-        k_t = jnp.maximum(k_dir(vt / jnp.maximum(jnp.linalg.norm(vt, axis=-1, keepdims=True), 1e-9)), 1e-9)
-        jt = jnp.where(active[:, None], -vt / (k_t * n_eff)[:, None] * relax, 0.0)
-        lam_t_new = lam_t + jt
-        lt_norm = jnp.linalg.norm(lam_t_new, axis=-1)
-        cap = mu * (lam_n + fn_seed * dt)
-        scale = jnp.minimum(1.0, cap / jnp.maximum(lt_norm, 1e-9))
-        lam_t_new = lam_t_new * scale[:, None]
-        jt = lam_t_new - lam_t
-        lam_t = lam_t_new
-        imp = imp + jt
-
-        # apply to free bodies (A gets +imp, B gets −imp)
+    def apply_imp(imp, lin, ang, Y_total):
+        """Apply per-candidate world impulses (n,3) at `point` to free bodies
+        (A gets +imp, B gets −imp) and articulated links (two-way reaction)."""
         dlin = (
             jnp.matmul(A_a, imp, precision=jax.lax.Precision.HIGHEST)
             - jnp.matmul(A_b, imp, precision=jax.lax.Precision.HIGHEST)
@@ -608,16 +660,148 @@ def impulse_contact_pass(
         )
         lin = lin + dlin
         ang = ang + dang
+        if psi is not None:
+            # two-way: articulated links absorb the REACTION. Velocity update
+            # via the EXACT generalized response ΔU = M⁻¹ΦᵀY when the caller
+            # provides it (cross-link/cross-joint coupling matters: with only
+            # the per-link Ψ, a grasped block slips ~35% of the hand velocity
+            # because the two fingers' impulses don't see each other); Ψ is
+            # still used for the per-candidate effective mass.
+            Yimp = jnp.concatenate([jnp.cross(point, imp), imp], -1)   # (n,6)
+            Y_iter = jnp.matmul(A_a_art, Yimp, precision=jax.lax.Precision.HIGHEST) - jnp.matmul(
+                A_b_art, Yimp, precision=jax.lax.Precision.HIGHEST
+            )                                                           # (B,6)
+            Y_total = Y_total + Y_iter
+            if art_apply is not None:
+                dV = art_apply(Y_iter)
+            else:
+                dV = jnp.einsum(
+                    "bij,bj->bi", psi, Y_iter, precision=jax.lax.Precision.HIGHEST
+                )
+            dw = dV[:, :3]
+            lin = lin + dV[:, 3:] + jnp.cross(dw, body_pos)
+            ang = ang + dw
+        return lin, ang, Y_total
+
+    # warm start: re-apply last substep's converged impulses on currently
+    # active candidates, then let the iterations correct the (small) error
+    if lam_warm is not None:
+        act0 = active.astype(dt_)
+        lam_n = lam_warm[:, 0] * act0
+        lam_t = lam_warm[:, 1:4] * act0[:, None]
+        lin, ang, Y_total = apply_imp(
+            normal * lam_n[:, None] + lam_t, lin, ang, Y_total
+        )
+    else:
+        lam_n = jnp.zeros(tables.n_con, dt_)
+        lam_t = jnp.zeros((tables.n_con, 3), dt_)
+
+    for _ in range(iters):
+        va = lin[ba] + jnp.cross(ang[ba], r_a)
+        vb = lin[bb] + jnp.cross(ang[bb], r_b)
+        v_rel = va - vb * jnp.asarray(has_b, dt_)[:, None]
+        vn = jnp.sum(v_rel * normal, -1)
+        act_f = active.astype(dt_)
+        count = jnp.matmul(A_a_bin, act_f, precision=jax.lax.Precision.HIGHEST) + jnp.matmul(
+            A_b_bin, act_f, precision=jax.lax.Precision.HIGHEST
+        )
+        n_eff = jnp.maximum(
+            (amask + amask_art) * count[ba] + (bmask + bmask_art) * count[bb], 1.0
+        )
+        d_lam = jnp.where(active, -(vn - target) / (k_n * n_eff) * relax, 0.0)
+        new_lam = jnp.maximum(lam_n + d_lam, 0.0)
+        d_imp = new_lam - lam_n
+        lam_n = new_lam
+        imp = normal * d_imp[:, None]
+        # friction: tangential impulse, cone-projected against λ_n. No
+        # under-relaxation here: stiction must converge tightly or a grasped
+        # object drifts through the pads a few mm per second (n_eff splitting
+        # already tempers the multi-contact overshoot)
+        vt = v_rel - vn[:, None] * normal
+        k_t = jnp.maximum(k_dir(vt / jnp.maximum(jnp.linalg.norm(vt, axis=-1, keepdims=True), 1e-9)), 1e-9)
+        jt = jnp.where(active[:, None], -vt / (k_t * n_eff)[:, None], 0.0)
+        lam_t_new = lam_t + jt
+        lt_norm = jnp.linalg.norm(lam_t_new, axis=-1)
+        cap = mu * (lam_n + fn_seed * dt)
+        scale = jnp.minimum(1.0, cap / jnp.maximum(lt_norm, 1e-9))
+        lam_t_new = lam_t_new * scale[:, None]
+        jt = lam_t_new - lam_t
+        lam_t = lam_t_new
+        imp = imp + jt
+        lin, ang, Y_total = apply_imp(imp, lin, ang, Y_total)
+
+    if psi is not None and (a_art + b_art).any():
+        # ---- stiction snap (couple contacts only) ----
+        # Iterative friction leaves a ~1% tangential residual that walks a
+        # grasped body across the pads (mm/s — enough to lose a grasp over a
+        # 10 s transport). For contacts strictly INSIDE the cone the exact
+        # stiction solution is zero relative tangential velocity, so finish
+        # with one direct 6×6 least-squares per free body matching its rigid
+        # motion to the articulated side at all sticking couple points. The
+        # arm-side reaction is O(m_free)·Δv — for grasped objects (g-scale
+        # masses vs kg-scale arms) it is below solver tolerance and omitted.
+        va = lin[ba] + jnp.cross(ang[ba], r_a)
+        vb_ = lin[bb] + jnp.cross(ang[bb], r_b)
+        v_rel = va - vb_ * jnp.asarray(has_b, dt_)[:, None]
+        lt_norm = jnp.linalg.norm(lam_t, axis=-1)
+        cap = mu * (lam_n + fn_seed * dt)
+        stick = (lt_norm < 0.98 * cap) & active
+        # static candidate routing: which side is the free body
+        couple_a_np = (np.asarray(a_free) > 0) & (np.asarray(b_art) > 0)
+        couple_b_np = (np.asarray(b_free) > 0) & (np.asarray(a_art) > 0)
+        couple_np = couple_a_np | couple_b_np
+        body_free_np = np.where(couple_a_np, ba, bb)
+        O_snap = np.zeros((B, tables.n_con), np.float32)
+        O_snap[body_free_np[couple_np], np.arange(tables.n_con)[couple_np]] = 1.0
+        w = jnp.where(stick & jnp.asarray(couple_np), 1.0, 0.0)
+        e_snap = jnp.asarray(np.where(couple_a_np, 1.0, -1.0).astype(np.float32))
+        r_free = jnp.where(jnp.asarray(couple_a_np)[:, None], r_a, r_b)
+
+        # X_c (3,6): point-velocity map of the free body, ξ = (Δω, Δv_com)
+        def _skew(v):
+            z = jnp.zeros_like(v[..., 0])
+            return jnp.stack([
+                jnp.stack([z, -v[..., 2], v[..., 1]], -1),
+                jnp.stack([v[..., 2], z, -v[..., 0]], -1),
+                jnp.stack([-v[..., 1], v[..., 0], z], -1),
+            ], -2)
+
+        X_snap = jnp.concatenate(
+            [-_skew(r_free),
+             jnp.broadcast_to(jnp.eye(3, dtype=dt_), (tables.n_con, 3, 3))], -1
+        )                                                              # (n,3,6)
+        P = jnp.eye(3, dtype=dt_)[None] - normal[:, :, None] * normal[:, None, :]
+        XP = jnp.einsum("nij,nik->njk", X_snap, P,
+                        precision=jax.lax.Precision.HIGHEST)           # XᵀP (n,6,3)
+        A_c = jnp.einsum("njk,nkl->njl", XP, X_snap,
+                         precision=jax.lax.Precision.HIGHEST)          # (n,6,6)
+        b_c = -jnp.einsum("njk,nk->nj", XP, e_snap[:, None] * v_rel,
+                          precision=jax.lax.Precision.HIGHEST)
+        Ow = jnp.asarray(O_snap) * w[None, :]                          # (B,n)
+        A_acc = jnp.einsum("bn,njk->bjk", Ow, A_c, precision=jax.lax.Precision.HIGHEST)
+        b_acc = jnp.einsum("bn,nj->bj", Ow, b_c, precision=jax.lax.Precision.HIGHEST)
+        nstick = jnp.sum(Ow, axis=-1)
+        A_reg = A_acc + jnp.eye(6, dtype=dt_)[None] * 1e-4
+        xi = jnp.linalg.solve(A_reg, b_acc[..., None])[..., 0]         # (B,6)
+        gate = (nstick > 0).astype(dt_)[:, None] * jnp.asarray(free, dt_)[:, None]
+        # the snap only finishes CONVERGENCE (mm/s-scale Jacobi residuals);
+        # clamp hard so it can never act as an energy-injecting constraint
+        # when v_rel is genuinely large (impact, fresh contact)
+        xi = jnp.clip(xi, -0.05, 0.05) * gate
+        ang = ang + xi[:, :3]
+        lin = lin + xi[:, 3:]
 
     lin = jnp.clip(lin, -scene.max_root_linvel, scene.max_root_linvel)
     ang = jnp.clip(ang, -scene.max_root_angvel, scene.max_root_angvel)
-    net_cf_free = (
-        jnp.matmul(jnp.asarray(tables.acc_a, dt_) * jnp.asarray(a_free, dt_)[None, :],
-                   normal * lam_n[:, None] + lam_t, precision=jax.lax.Precision.HIGHEST)
-        - jnp.matmul(jnp.asarray(tables.acc_b, dt_) * jnp.asarray(b_free, dt_)[None, :],
-                     normal * lam_n[:, None] + lam_t, precision=jax.lax.Precision.HIGHEST)
+    imp_tot = normal * lam_n[:, None] + lam_t
+    net_cf_imp = (
+        jnp.matmul(jnp.asarray(tables.acc_a, dt_) * (amask + amask_art)[None, :],
+                   imp_tot, precision=jax.lax.Precision.HIGHEST)
+        - jnp.matmul(jnp.asarray(tables.acc_b, dt_) * (bmask + bmask_art)[None, :],
+                     imp_tot, precision=jax.lax.Precision.HIGHEST)
     ) / dt
-    return lin, ang, net_cf_free
+    lam_out = jnp.concatenate([lam_n[:, None], lam_t], axis=-1)
+    return lin, ang, net_cf_imp, Y_total, lam_out
 
 
 import jax  # noqa: E402

@@ -179,6 +179,25 @@ def build_articulation(
     else:
         raise ValueError(f"invalid dof_mode {dof_mode!r}")
 
+    drive_mode_arr = np.full(ndof, mode, dtype=np.int32)
+    drive_kp_arr = np.full(ndof, kp)
+    drive_kd_arr = np.full(ndof, kd)
+    # gripper finger DOFs always use force-limited POSITION drives regardless
+    # of the actor's dof_mode (the reference likewise sets gripper DOFs to
+    # DOF_MODE_POS and binarizes targets, `isaacgym_wrapper.py:493-507,
+    # 561-565`). A velocity/damping drive has no positional memory: held at a
+    # zero-velocity target it resists only with damping, so the off-finger's
+    # push ratchets the grip open and a grasped block walks out. kp must stay
+    # UNSATURATED at grip (force < effort limit at typical pad-to-target
+    # error): a saturated constant-force clamp has zero centering stiffness
+    # (neutral equilibrium — the grip wanders along the clamp axis), while an
+    # unsaturated spring pair centers the object at ~2·kp stiffness.
+    for k, jn in enumerate(dof_names):
+        if "finger" in jn:
+            drive_mode_arr[k] = DRIVE_POSITION
+            drive_kp_arr[k] = 600.0
+            drive_kd_arr[k] = 30.0
+
     geoms: List[GeomSpec] = []
     for ln, i in idx.items():
         for g in spec.links[ln].geoms:
@@ -214,9 +233,9 @@ def build_articulation(
         dof_damping=dof_damping,
         dof_friction=dof_friction,
         dof_armature=np.full(ndof, armature),
-        drive_mode=np.full(ndof, mode, dtype=np.int32),
-        drive_kp=np.full(ndof, kp),
-        drive_kd=np.full(ndof, kd),
+        drive_mode=drive_mode_arr,
+        drive_kp=drive_kp_arr,
+        drive_kd=drive_kd_arr,
         geoms=geoms,
         link_names=list(order),
         dof_names=dof_names,

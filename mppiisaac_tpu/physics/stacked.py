@@ -465,6 +465,7 @@ def stacked_substep(
     dt: float,
     contact_fn,
     tables=None,
+    use_impulse: bool = True,
 ):
     """One semi-implicit substep for the whole scene. contact_fn(body_pos,
     body_quat, body_linvel, body_angvel, geom_friction) → (f_ext (B,6), net_cf)."""
@@ -541,7 +542,154 @@ def stacked_substep(
     M = M0 + eye[None] * (dt * dz[ac] + (1.0 - pad) + 1e-8)[..., None, :]
     from .linalg import solve_psd
 
+    # ---- IMPLICIT couple-contact terms (articulated↔free, i.e. grasping) ----
+    # The articulated side of a couple contact gets no explicit penalty force
+    # (see contact.compute_contact_forces): an explicit stiff spring-damper on
+    # a light finger link explodes. Instead the contact enters the velocity
+    # solve implicitly (Baraff):
+    #   fn(u⁺) = kn·d − (kd + dt·kn)·vn(u⁺),  vn = e·J u⁺ − e·v_other·n
+    #   τ(u⁺)  = Jᵀ(e·kn·d + (kd+κ)·v_other·n) − (kd+κ)·JᵀJ·u⁺,  κ = dt·kn
+    # → M += dt(kd+κ)·JᵀJ (SPD-preserving), rhs += dt·Jᵀ(e·kn·d + (kd+κ)v_oth_n).
+    cpl_groups = []
+    if tables is not None and cgeom is not None and len(tables.art_bodies):
+        tau_c = max(2.0 * dt, 1e-3)
+        point_all = cgeom["point"]
+        n_all = cgeom["normal"]
+        depth_all = jnp.minimum(cgeom["depth"], jnp.asarray(scene.max_contact_depth, dt_))
+        ba_all = scene.geom_body[tables.con_geom_a]
+        fbidx = np.where(tables.con_geom_b >= 0, tables.con_geom_b, tables.con_geom_a)
+        bb_all = scene.geom_body[fbidx]
+        for b in tables.art_bodies:
+            Ca = np.where((tables.a_art > 0) & (ba_all == b))[0]
+            Cb = np.where((tables.b_art > 0) & (bb_all == b))[0]
+            C = np.concatenate([Ca, Cb]).astype(np.int64)
+            if not len(C):
+                continue
+            e = np.concatenate([np.ones(len(Ca)), -np.ones(len(Cb))]).astype(np.float32)
+            other = np.concatenate([bb_all[Ca], ba_all[Cb]]).astype(np.int64)
+            ai_b = int(m.body_actor[b])
+            r = int(np.where(m.act_actor == ai_b)[0][0])
+            anc_pad = np.concatenate([m.anc_dof[b], [0.0]])[m.act_coords[r]]
+            Phi = Sz[m.act_coords[r]] * jnp.asarray(anc_pad, dt_)[:, None]   # (nv,6)
+            p_c = point_all[C]
+            n_c = n_all[C]
+            d_c = depth_all[C]
+            act_c = (cgeom["depth"][C] > 0.0).astype(dt_)
+            X = jnp.concatenate([jnp.cross(p_c, n_c), n_c], -1)              # (nc,6)
+            J = jnp.einsum("ci,vi->cv", X, Phi, precision=_PREC)             # (nc,nv)
+            kn_c = jnp.asarray(tables.kn_base[C] / (tau_c * tau_c), dt_)
+            kd_c = jnp.asarray(2.0 * tables.kn_base[C] / tau_c, dt_)
+            kap = dt * kn_c
+            v_oth = lin_b[other] + jnp.cross(w_b[other], p_c - body_pos[other])
+            v_oth_n = jnp.sum(v_oth * n_c, -1)
+            e_j = jnp.asarray(e, dt_)
+            coefM = dt * (kd_c + kap) * act_c
+            coefR = dt * (e_j * kn_c * jnp.maximum(d_c, 0.0) + (kd_c + kap) * v_oth_n) * act_c
+            M = M.at[r].add(jnp.einsum("c,cv,cw->vw", coefM, J, J, precision=_PREC))
+            rhs = rhs.at[r].add(jnp.einsum("c,cv->v", coefR, J, precision=_PREC))
+            cpl_groups.append(dict(b=b, r=r, C=C, e=e_j, J=J, kn=kn_c, kd=kd_c,
+                                   kap=kap, d=d_c, act=act_c, n=n_c,
+                                   v_oth_n=v_oth_n, Phi=Phi))
+
     u_new_a = solve_psd(M, rhs) * pad                             # (A,nv)
+
+    # post-solve implicit contact forces: seed the impulse friction cones (a
+    # pinched light body otherwise only sees impulse-scale caps and squirts
+    # out of grasps) and expose the grip force on the arm's net_cf (gate).
+    if cpl_groups:
+        fn_seed = cgeom["fn_stiff"]
+        for g in cpl_groups:
+            vn_plus = g["e"] * (
+                jnp.einsum("cv,v->c", g["J"], u_new_a[g["r"]], precision=_PREC)
+                - g["v_oth_n"]
+            )
+            fn_star = jnp.maximum(
+                g["kn"] * jnp.maximum(g["d"], 0.0) - (g["kd"] + g["kap"]) * vn_plus,
+                0.0,
+            ) * g["act"]
+            fn_seed = fn_seed.at[g["C"]].set(fn_star)
+            net_cf = net_cf.at[g["b"]].add(
+                jnp.sum((g["e"] * fn_star)[:, None] * g["n"], axis=0)
+            )
+            g["fn_star"] = fn_star
+        cgeom = dict(cgeom)
+        cgeom["fn_stiff"] = fn_seed
+
+    # ---- velocity-impulse contact resolution (free bodies + TWO-WAY
+    # articulated coupling, contact.impulse_contact_pass). Runs on POST-solve
+    # velocities for every body; articulated links participate through their
+    # joint-space effective mass Ψ_b = Φ_b M⁻¹ Φ_bᵀ (same damped M as the
+    # velocity solve), and the accumulated spatial impulses fold back into the
+    # generalized velocities as ΔU = M⁻¹ Φᵀ Y before integration.
+    from .contact import _free_body_mask, impulse_contact_pass
+
+    free_rows = _free_body_mask(scene)
+    run_impulse = (
+        use_impulse and tables is not None and cgeom is not None and free_rows.any()
+    )
+    lin2 = ang2 = None
+    if run_impulse:
+        u_post = jnp.matmul(jnp.asarray(m.uscatter), u_new_a.reshape(-1), precision=_PREC)
+        v_post = jnp.matmul(anc, S * u_post[:, None], precision=_PREC)     # (B,6)
+        w_post = v_post[:, :3]
+        lin_post = v_post[:, 3:] + jnp.cross(w_post, body_pos)
+
+        art_bodies = list(tables.art_bodies)
+        psi = None
+        phi_by_body = {}
+        if art_bodies:
+            psi = jnp.zeros((m.B, 6, 6), dt_)
+            from .linalg import solve_psd_multi
+
+            for b in art_bodies:
+                ai_b = int(m.body_actor[b])
+                r = int(np.where(m.act_actor == ai_b)[0][0])
+                # Φ_b (nv,6): rows S_j for coords j ancestor-or-self of b
+                anc_pad = np.concatenate([m.anc_dof[b], [0.0]])[m.act_coords[r]]
+                Phi = Sz[m.act_coords[r]] * jnp.asarray(anc_pad, dt_)[:, None]
+                X = solve_psd_multi(M[..., r, :, :], Phi)          # (nv,6)
+                psi_b = jnp.einsum("vi,vj->ij", Phi, X, precision=_PREC)
+                psi = psi.at[b].set(psi_b)
+                phi_by_body[b] = (r, Phi)
+
+        art_apply = None
+        if art_bodies:
+            phi_list = [(b, phi_by_body[b]) for b in art_bodies]
+
+            def art_apply(Y_iter):
+                """Exact generalized response: ΔU = M⁻¹ΦᵀY → body ΔV (B,6)."""
+                rhsY = jnp.zeros((m.A_dyn, m.nv_max), dt_)
+                for b2, (r2, Phi2) in phi_list:
+                    rhsY = rhsY.at[r2].add(
+                        jnp.einsum("vi,i->v", Phi2, Y_iter[b2], precision=_PREC)
+                    )
+                duY = solve_psd(M, rhsY) * pad
+                uY = jnp.matmul(
+                    jnp.asarray(m.uscatter), duY.reshape(-1), precision=_PREC
+                )
+                return jnp.matmul(anc, S * uY[:, None], precision=_PREC)
+
+        cache_ok = (
+            state.contact_lam is not None
+            and state.contact_lam.shape[-2:] == (tables.n_con, 4)
+        )
+        lam_warm = state.contact_lam if cache_ok else None
+        lin2, ang2, ncf_imp, Y_tot, lam_out = impulse_contact_pass(
+            scene, tables, cgeom,
+            body_pos, body_quat, lin_post, w_post,
+            params.body_mass_scale, dt, psi=psi, art_apply=art_apply,
+            lam_warm=lam_warm,
+        )
+        net_cf = net_cf + ncf_imp
+
+        if art_bodies:
+            rhs2 = jnp.zeros((m.A_dyn, m.nv_max), dt_)
+            for b, (r, Phi) in phi_by_body.items():
+                rhs2 = rhs2.at[r].add(
+                    jnp.einsum("vi,i->v", Phi, Y_tot[b], precision=_PREC)
+                )
+            du = solve_psd(M, rhs2) * pad
+            u_new_a = u_new_a + du
 
     # scatter back to (NV,) via static one-hot matmul
     u_new = jnp.matmul(jnp.asarray(m.uscatter), u_new_a.reshape(-1), precision=_PREC)
@@ -583,26 +731,13 @@ def stacked_substep(
         root_linvel = root_linvel.at[ai].set(v_r)
         root_angvel = root_angvel.at[ai].set(w_new)
 
-        # constraint-impulse resolution for FREE rigid bodies (grasping/
-        # stacking fidelity — see contact.impulse_contact_pass). Kinematic
-        # sides use this substep's pre-solve FK velocities; free rows carry
-        # their freshly solved velocities.
-        from .contact import _free_body_mask, impulse_contact_pass
-
-        free_rows = _free_body_mask(scene)
-        if tables is not None and cgeom is not None and free_rows.any():
+        if run_impulse:
+            # free single rigid bodies take their impulse-corrected velocities
             rows = np.where(free_rows > 0)[0]
-            b_act = scene.body_actor[rows]
-            lin_all = lin_b.at[rows].set(root_linvel[b_act])
-            ang_all = w_b.at[rows].set(root_angvel[b_act])
-            lin2, ang2, ncf_free = impulse_contact_pass(
-                scene, tables, cgeom,
-                body_pos, body_quat, lin_all, ang_all,
-                params.body_mass_scale, dt,
-            )
-            root_linvel = root_linvel.at[b_act].set(lin2[rows])
-            root_angvel = root_angvel.at[b_act].set(ang2[rows])
-            net_cf = net_cf + ncf_free
+            if len(rows):
+                b_act = scene.body_actor[rows]
+                root_linvel = root_linvel.at[b_act].set(lin2[rows])
+                root_angvel = root_angvel.at[b_act].set(ang2[rows])
             v_r2 = root_linvel[ai]
             w_new2 = root_angvel[ai]
         else:
@@ -610,6 +745,9 @@ def stacked_substep(
         root_pos = root_pos.at[ai].set(p_r + dt * v_r2)
         root_quat = root_quat.at[ai].set(quat_integrate(root_quat[ai], w_new2, dt))
 
+    new_cache = state.contact_lam
+    if run_impulse and cache_ok:
+        new_cache = lam_out
     return state._replace(
         root_pos=root_pos,
         root_quat=root_quat,
@@ -618,6 +756,7 @@ def stacked_substep(
         q=q_new,
         qd=qd_new,
         net_contact_force=net_cf,
+        contact_lam=new_cache,
     )
 
 

@@ -69,6 +69,7 @@ class Engine:
             body_linvel=jnp.zeros((s.nbody, 3), jnp.float32),
             body_angvel=jnp.zeros((s.nbody, 3), jnp.float32),
             net_contact_force=jnp.zeros((s.nbody, 3), jnp.float32),
+            contact_lam=jnp.zeros((self.tables.n_con, 4), jnp.float32),
         )
 
     # ------------------------------------------------------------------
@@ -94,12 +95,11 @@ class Engine:
             params = self.default_params()
         contact_fn = self._contact_fn(self.dt_sub)
 
-        tables = self.tables if self.use_impulse else None
-
         def body(st, _):
             return (
                 stacked_substep(
-                    self.stacked, st, params, self.dt_sub, contact_fn, tables
+                    self.stacked, st, params, self.dt_sub, contact_fn,
+                    self.tables, use_impulse=self.use_impulse,
                 ),
                 None,
             )

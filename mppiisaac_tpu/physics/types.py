@@ -34,6 +34,13 @@ class SimState(NamedTuple):
     body_linvel: jnp.ndarray     # (B,3)
     body_angvel: jnp.ndarray     # (B,3)
     net_contact_force: jnp.ndarray  # (B,3) world-frame net contact force per body
+    # persistent-contact impulse cache (n_con,4): [λ_n, λ_t(3)] per static
+    # contact candidate, warm-starting the velocity-impulse pass next substep
+    # (PhysX-style persistent contacts). Candidates are a STATIC table, so a
+    # cache row always refers to the same geometric pair; stale rows are gated
+    # by the current activity mask. Zeros = cold start; None = caching off
+    # (engines allocate real zeros in initial_state).
+    contact_lam: jnp.ndarray = None
 
     # ------------------------------------------------------------------
     # Reference-layout views

@@ -44,14 +44,17 @@ class CommandMap:
     """dof_target = W @ u, then binarized gripper overrides."""
     nu: int
     W: np.ndarray                                 # (ndof, nu)
-    binarize_dofs: List[Tuple[int, int]] = field(default_factory=list)  # (dof, u_src)
-    binarize_value: float = 0.1
+    # (dof, u_src, close_target, open_target): finger dofs are POSITION-driven
+    # (model.py build_articulation) and binarize to fully-closed / fully-open
+    # position targets from the sign of the source command (reference
+    # `apply_robot_cmd`, `isaacgym_wrapper.py:561-565`)
+    binarize_dofs: List[Tuple[int, int, float, float]] = field(default_factory=list)
 
     def apply(self, u: jnp.ndarray) -> jnp.ndarray:
         """u (..., nu) → dof targets (..., ndof)."""
         tgt = jnp.einsum("dn,...n->...d", jnp.asarray(self.W, u.dtype), u)
-        for dof, src in self.binarize_dofs:
-            val = jnp.where(u[..., src] > 0.0, self.binarize_value, -self.binarize_value)
+        for dof, src, lo, hi in self.binarize_dofs:
+            val = jnp.where(u[..., src] > 0.0, hi, lo)
             tgt = tgt.at[..., dof].set(val)
         return tgt
 
@@ -154,11 +157,14 @@ def _build_cmd_map(specs: List[ActorSpec], actors: List[Articulation], dof_offse
         # u entry of this actor (reference `apply_robot_cmd`,
         # `isaacgym_wrapper.py:561-565`)
         if spec.gripper_binarize:
-            finger_dofs = [off + j for j, jn in enumerate(art.dof_names) if "finger" in jn]
-            if finger_dofs:
+            finger_js = [j for j, jn in enumerate(art.dof_names) if "finger" in jn]
+            if finger_js:
                 src = u_idx - 1
-                for fd in finger_dofs:
-                    binarize.append((fd, src))
+                for j in finger_js:
+                    binarize.append((
+                        off + j, src,
+                        float(art.dof_lower[j]), float(art.dof_upper[j]),
+                    ))
     W = np.stack(cols, axis=1) if cols else np.zeros((ndof, 0))
     return CommandMap(nu=u_idx, W=W, binarize_dofs=binarize)
 
