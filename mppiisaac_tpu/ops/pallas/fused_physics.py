@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from typing import Dict, List
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -31,6 +32,11 @@ from ...physics.model import (
 )
 from ...physics.urdf import GEOM_BOX, GEOM_CAPSULE
 from . import lanes as L
+
+# debug toggle: disable the articulated side of the GS sweeps (implicit couple
+# solve stays on) — lets tests bisect two-way-sweep regressions
+TWO_WAY_SWEEPS = True
+DEBUG_SWEEPS = False    # eager-mode per-candidate prints (tests only)
 
 
 def _t3(a):
@@ -414,25 +420,31 @@ def contacts_lanes(scene, tables, pos, quat, linv, angv, fric_scale, dt_sub):
             return L.fma3(L.scale3(normal, fn), vt, ft_s), fn
 
         # side-asymmetric penalty (see physics/contact.py): free bodies feel
-        # the mass-scaled stable stiffness, actuated/fixed the couple stiffness
+        # the mass-scaled stable stiffness, FIXED bodies the couple stiffness,
+        # and the DYNAMIC ARTICULATED side of a couple contact gets NO
+        # explicit force — its reaction is applied implicitly inside the
+        # articulated velocity solve (dynamics_lanes), exactly as the world
+        # engine does (an explicit stiff spring on a gram-scale finger is
+        # unconditionally unstable)
         kb = float(tables.kn_base[idx])
         kb_soft = float(tables.kn_base_soft[idx])
         a_is_free = float(tables.a_free[idx]) > 0
         b_is_free = has_b and float(tables.b_free[idx]) > 0
+        a_is_art = float(tables.a_art[idx]) > 0
+        b_is_art = has_b and float(tables.b_art[idx]) > 0
         force_a, fn_a = force_with(kb_soft if a_is_free else kb)
         if has_b:
             if b_is_free == a_is_free:
                 force_b, fn_b = force_a, fn_a
             else:
                 force_b, fn_b = force_with(kb_soft if b_is_free else kb)
-        is_couple = has_b and (a_is_free != b_is_free)
-        fn_stiff = (fn_b if a_is_free else fn_a) if is_couple else 0.0
         nO_a = L.cross3(point, force_a)
 
-        plk_n[ba] = L.add3(plk_n[ba], nO_a)
-        plk_f[ba] = L.add3(plk_f[ba], force_a)
-        net_cf[ba] = L.add3(net_cf[ba], force_a)
-        if has_b:
+        if not a_is_art:
+            plk_n[ba] = L.add3(plk_n[ba], nO_a)
+            plk_f[ba] = L.add3(plk_f[ba], force_a)
+            net_cf[ba] = L.add3(net_cf[ba], force_a)
+        if has_b and not b_is_art:
             nO_b = L.cross3(point, force_b)
             plk_n[bb] = L.sub3(plk_n[bb], nO_b)
             plk_f[bb] = L.sub3(plk_f[bb], force_b)
@@ -448,7 +460,8 @@ def contacts_lanes(scene, tables, pos, quat, linv, angv, fric_scale, dt_sub):
                      kn_stiff=float(tables.kn_base[idx]),
                      mu0=float(tables.mu_base[idx]),
                      ba=ba, bb=bb, has_b=has_b,
-                     a_free=a_is_free, b_free=b_is_free)
+                     a_free=a_is_free, b_free=b_is_free,
+                     a_art=a_is_art, b_art=b_is_art)
             )
     return plk_n, plk_f, net_cf, free_cands
 
@@ -510,6 +523,26 @@ def dynamics_lanes(scene, masks_list, state, pos, quat, linv, angv, axis_w,
     new_rq = list(state["root_quat"])
     new_rlv = list(state["root_linvel"])
     new_rav = list(state["root_angvel"])
+
+    # couple contacts (articulated↔free, i.e. grasping): route candidates to
+    # their articulated actor. The articulated side got NO explicit penalty in
+    # contacts_lanes; it enters the velocity solve IMPLICITLY (Baraff JᵀJ
+    # terms) and the GS sweeps TWO-WAY (joint-space effective mass Ψ) —
+    # mirroring physics/stacked.py + contact.impulse_contact_pass.
+    couple_by_actor: Dict[int, list] = {}
+    if free_cands:
+        for c in free_cands:
+            if c.get("a_art") or c.get("b_art"):
+                art_b = c["ba"] if c["a_art"] else c["bb"]
+                aid = int(scene.body_actor[art_b])
+                cc = dict(c)
+                cc["art_body"] = art_b
+                cc["e"] = 1.0 if c["a_art"] else -1.0
+                couple_by_actor.setdefault(aid, []).append(cc)
+    # per-actor solve context kept live for the sweeps (factored mass matrix,
+    # generalized velocities, subspaces) — integration deferred for these
+    art_ctx: Dict[int, dict] = {}
+    tau_c_g = max(2.0 * dt, 1e-3)
 
     for ai, art in enumerate(scene.actors):
         if art.fixed_base and art.ndof == 0:
@@ -664,6 +697,63 @@ def dynamics_lanes(scene, masks_list, state, pos, quat, linv, angv, axis_w,
         # rhs = M u + dt (tau - C); M_solve = M + diag(dt d_imp + eps)
         rhs = [sum(M[i][j] * u[j] for j in range(nv)) + dt * (tau[i] - C[i]) for i in range(nv)]
         Msolve = [[M[i][j] + ((dt * d_imp[i] + 1e-8) if i == j else 0.0) for j in range(nv)] for i in range(nv)]
+
+        cpl = couple_by_actor.get(ai)
+        if cpl:
+            # implicit couple-contact terms (grasping — see stacked_substep):
+            #   M += dt(kd+κ)·JᵀJ,  rhs += dt·Jᵀ(e·kn·d⁺ + (kd+κ)·v_oth_n)
+            # with J_j = X·S_j over ancestor coords of the contact link,
+            # X = (p×n, n), κ = dt·kn
+            for c in cpl:
+                pt, n, depth_raw = candidate_geometry(
+                    scene, c["ga"], c["gb"], c["kind"], c["extra"], pos, quat
+                )
+                depth_c = jnp.minimum(depth_raw, float(scene.max_contact_depth))
+                act = (depth_c > 0.0).astype(jnp.float32)
+                lb = c["art_body"] - bo               # local link index
+                X6 = (*L.cross3(pt, n), *n)
+                Jc = [None] * nv
+                sub_coords = [j for j in range(nv) if m.subtree[j, lb]]
+                for j in sub_coords:
+                    Jc[j] = sum(X6[r] * S[j][r] for r in range(6))
+                kn_c = c["kn_stiff"] / (tau_c_g * tau_c_g)
+                kd_c = 2.0 * c["kn_stiff"] / tau_c_g
+                kap = dt * kn_c
+                ob = c["bb"] if c["a_art"] else c["ba"]
+                v_oth = L.add3(linv[ob], L.cross3(angv[ob], L.sub3(pt, pos[ob])))
+                v_oth_n = L.dot3(v_oth, n)
+                coefM = dt * (kd_c + kap) * act
+                coefR = dt * (c["e"] * kn_c * jnp.maximum(depth_c, 0.0)
+                              + (kd_c + kap) * v_oth_n) * act
+                for i in sub_coords:
+                    rhs[i] = rhs[i] + coefR * Jc[i]
+                    for j in sub_coords:
+                        Msolve[i][j] = Msolve[i][j] + coefM * Jc[i] * Jc[j]
+
+        if cpl:
+            L_chol = L.cholesky_factor(Msolve)
+            u_new = L.cholesky_solve_factored(L_chol, rhs)
+            # joint-space operational inverse inertia Ψ_b = Φ_b M⁻¹ Φ_bᵀ per
+            # contact link (consumed by the two-way GS sweeps)
+            psi_by_body = {}
+            art_bodies = sorted({c["art_body"] for c in cpl})
+            for b_g in art_bodies:
+                lb = b_g - bo
+                sub_coords = [j for j in range(nv) if m.subtree[j, lb]]
+                psi = [[0.0] * 6 for _ in range(6)]
+                for c6 in range(6):
+                    col = [S[j][c6] if j in sub_coords else 0.0 for j in range(nv)]
+                    xs = L.cholesky_solve_factored(L_chol, col)
+                    for r in range(6):
+                        psi[r][c6] = sum(S[j][r] * xs[j] for j in sub_coords)
+                psi_by_body[b_g] = psi
+            art_ctx[ai] = dict(
+                m=m, art=art, bo=bo, do=do, base=base, nv=nv,
+                L_chol=L_chol, u_new=u_new, S=S, psi=psi_by_body,
+                art_bodies=art_bodies,
+            )
+            continue  # integration deferred until after the impulse sweeps
+
         u_new = L.cholesky_solve(Msolve, rhs)
 
         # integrate (FREE single bodies defer position integration until the
@@ -696,8 +786,12 @@ def dynamics_lanes(scene, masks_list, state, pos, quat, linv, angv, axis_w,
 
     # ---- Gauss–Seidel impulse sweeps for free rigid bodies (in-kernel
     # analog of contact.impulse_contact_pass; GS converges in ~2 sweeps where
-    # Jacobi needs ~16, and sequential updates are free in straight-line code)
-    if deferred and free_cands:
+    # Jacobi needs ~16, and sequential updates are free in straight-line code).
+    # Articulated couple sides participate TWO-WAY: per-candidate velocity
+    # updates through the per-link Ψ, plus an EXACT generalized fold-back
+    # ΔU = M⁻¹ΦᵀY at the end of every sweep (the per-link Ψ alone misses the
+    # cross-finger coupling that grasp capture depends on).
+    if deferred and free_cands and impulse_sweeps > 0:
         beta, slop = 0.2, 2e-3
         dcap = float(scene.max_contact_depth)
         tau_c = max(2.0 * dt, 1e-3)
@@ -714,22 +808,83 @@ def dynamics_lanes(scene, masks_list, state, pos, quat, linv, angv, axis_w,
             RI = [[sum(R[i][k] * float(Iinv[k][j]) for k in range(3)) for j in range(3)] for i in range(3)]
             invIw[b] = [[sum(RI[i][k] * R[j][k] for k in range(3)) / jnp.maximum(mass_scale[b], 1e-6) for j in range(3)] for i in range(3)]
 
-        # per-candidate accumulators persisting across sweeps: the normal
-        # impulse λ_n (≥ 0 projection) and ONE scalar tangential magnitude —
-        # without it, each sweep re-applies friction up to the full cone and
-        # total friction can reach sweeps× the cone in sliding regimes. A
-        # (3,)-tuple tangential accumulator would triple the VMEM cost; the
-        # scalar magnitude bound is enough to keep Σ‖jt‖ inside the cone.
-        lam_n = [0.0] * len(free_cands)
-        lam_t_mag = [0.0] * len(free_cands)
+        body_actor_art = {}
+        for aid, ctx in art_ctx.items():
+            for b_g in ctx["art_bodies"]:
+                body_actor_art[b_g] = aid
 
-        def body_vel_at(b, point):
-            if b in body2actor:
-                ai2 = body2actor[b]
-                return L.add3(new_rlv[ai2], L.cross3(new_rav[ai2], L.sub3(point, state["root_pos"][ai2])))
-            return L.add3(linv[b], L.cross3(angv[b], L.sub3(point, pos[b])))
+        # ---- rolled sweep loop: the body compiles ONCE (lax.fori_loop) ----
+        # An unrolled 8-sweep loop over hundreds of candidates exploded
+        # compile time (25 min on the panda_pick scene). The carry packs every
+        # sweep-mutable tile: deferred free-actor velocities, per-candidate
+        # accumulators, and each couple actor's generalized velocities.
+        defer_list = list(deferred)
+        couple_aids = sorted(art_ctx)
+        n_fc = len(free_cands)
+        zero_t = jnp.zeros_like(state["root_pos"][0][0])
 
-        for _ in range(impulse_sweeps):
+        def _tile(x):
+            return x + zero_t if isinstance(x, float) else x
+
+        def _pack_carry(rlv, rav, ln, lt, unew):
+            # velocities/generalized coords stay f32; the per-candidate λ
+            # accumulators (the bulk: 2 tiles × n_candidates) ride bf16 —
+            # they are cone bounds/projections, 0.4% relative error is far
+            # below the solver's own convergence tolerance, and they dominate
+            # the fori carry's VMEM footprint (double-buffered by the loop)
+            rows = []
+            for ai2 in defer_list:
+                rows += [_tile(v) for v in rlv[ai2]] + [_tile(v) for v in rav[ai2]]
+            for aid in couple_aids:
+                rows += [_tile(v) for v in unew[aid]]
+            lam_rows = [_tile(v) for v in ln] + [_tile(v) for v in lt]
+            return jnp.stack(rows), jnp.stack(lam_rows).astype(jnp.bfloat16)
+
+        def _unpack_carry(carry):
+            arr, lam_arr = carry
+            lam_arr = lam_arr.astype(jnp.float32)
+            rlv, rav, unew = {}, {}, {}
+            r = 0
+            for ai2 in defer_list:
+                rlv[ai2] = (arr[r], arr[r + 1], arr[r + 2])
+                rav[ai2] = (arr[r + 3], arr[r + 4], arr[r + 5])
+                r += 6
+            for aid in couple_aids:
+                nv_a = art_ctx[aid]["nv"]
+                unew[aid] = [arr[r + i] for i in range(nv_a)]
+                r += nv_a
+            ln = [lam_arr[i] for i in range(n_fc)]
+            lt = [lam_arr[n_fc + i] for i in range(n_fc)]
+            return rlv, rav, ln, lt, unew
+
+        def _sweep_body(_, carry):
+            new_rlv, new_rav, lam_n, lam_t_mag, unew_by = _unpack_carry(carry)
+            # live post-solve spatial velocities (ω, v_O) of articulated
+            # contact links, refreshed from the carried u at sweep start
+            v6_art: Dict[int, list] = {}
+            for aid in couple_aids:
+                ctx = art_ctx[aid]
+                S_l, m_l, bo_l = ctx["S"], ctx["m"], ctx["bo"]
+                u_l = unew_by[aid]
+                for b_g in ctx["art_bodies"]:
+                    lb = b_g - bo_l
+                    v6 = [0.0] * 6
+                    for j in range(ctx["nv"]):
+                        if m_l.subtree[j, lb]:
+                            for r in range(6):
+                                v6[r] = v6[r] + S_l[j][r] * u_l[j]
+                    v6_art[b_g] = v6
+            Y_body = {b_g: [0.0] * 6 for b_g in body_actor_art}
+
+            def body_vel_at(b, point):
+                if b in body2actor:
+                    ai2 = body2actor[b]
+                    return L.add3(new_rlv[ai2], L.cross3(new_rav[ai2], L.sub3(point, state["root_pos"][ai2])))
+                if b in v6_art:
+                    v6 = v6_art[b]
+                    return L.add3((v6[3], v6[4], v6[5]), L.cross3((v6[0], v6[1], v6[2]), point))
+                return L.add3(linv[b], L.cross3(angv[b], L.sub3(point, pos[b])))
+
             for ci, c in enumerate(free_cands):
                 # recompute geometry from poses (descriptors are static; see
                 # contacts_lanes note on VMEM stack pressure)
@@ -743,15 +898,36 @@ def dynamics_lanes(scene, masks_list, state, pos, quat, linv, angv, axis_w,
                 vb = body_vel_at(c["bb"], pt) if c["has_b"] else (0.0, 0.0, 0.0)
                 v_rel = L.sub3(va, vb)
                 vn = L.dot3(v_rel, n)
-                # effective inverse mass along n over the free sides
-                k_n = 1e-9
-                for b, fr, sgn in ((c["ba"], c["a_free"], 1.0), (c["bb"], c["b_free"], -1.0)):
-                    if not fr:
-                        continue
-                    r = L.sub3(pt, state["root_pos"][body2actor[b]])
-                    rxn = L.cross3(r, n)
-                    Iw_rxn = tuple(sum(invIw[b][i][j] * rxn[j] for j in range(3)) for i in range(3))
-                    k_n = k_n + inv_m[b] + L.dot3(rxn, Iw_rxn)
+                is_cpl = bool(c.get("a_art") or c.get("b_art")) and TWO_WAY_SWEEPS
+
+                def k_dir(d3):
+                    """effective inverse mass along direction d3 (unit) —
+                    free sides' linear+rotational terms plus the articulated
+                    side's joint-space Ψ. MUST be evaluated per direction:
+                    reusing the normal's value for the tangent under-counts
+                    the rotational coupling (e.g. 200 vs 605 for a pad-held
+                    sphere) and the resulting friction overshoot diverges the
+                    GS spin channel."""
+                    k = 1e-9
+                    for b2, fr2 in ((c["ba"], c["a_free"]), (c["bb"], c["b_free"])):
+                        if not fr2:
+                            continue
+                        r2 = L.sub3(pt, state["root_pos"][body2actor[b2]])
+                        rxd = L.cross3(r2, d3)
+                        Iw_rxd = tuple(
+                            sum(invIw[b2][i][j] * rxd[j] for j in range(3))
+                            for i in range(3)
+                        )
+                        k = k + inv_m[b2] + L.dot3(rxd, Iw_rxd)
+                    if is_cpl:
+                        b2 = c["ba"] if c["a_art"] else c["bb"]
+                        psi2 = art_ctx[body_actor_art[b2]]["psi"][b2]
+                        X6d = (*L.cross3(pt, d3), *d3)
+                        pX = [sum(psi2[r][cc_] * X6d[cc_] for cc_ in range(6)) for r in range(6)]
+                        k = k + sum(X6d[r] * pX[r] for r in range(6))
+                    return k
+
+                k_n = k_dir(n)
                 d_lam = jnp.where(active, -(vn - target) / k_n, 0.0)
                 new_lam = jnp.maximum(lam_n[ci] + d_lam, 0.0)
                 d_imp = new_lam - lam_n[ci]
@@ -759,12 +935,22 @@ def dynamics_lanes(scene, masks_list, state, pos, quat, linv, angv, axis_w,
                 imp = L.scale3(n, d_imp)
                 # friction (cone-projected accumulated tangential impulse)
                 vt = L.sub3(v_rel, L.scale3(n, vn))
-                k_t = k_n
+                vt_n = L.norm3(vt, eps=1e-9)
+                t_dir = L.scale3(vt, 1.0 / vt_n)
+                k_t = k_dir(t_dir)
                 jt_try = tuple(jnp.where(active, -vt[i] / k_t, 0.0) for i in range(3))
                 jt_norm = L.norm3(jt_try, eps=0.0)
-                # friction cone: couple candidates are seeded with the stiff
-                # penalty's normal force (approximated without damping)
-                if c["has_b"] and (c["a_free"] != c["b_free"]):
+                # friction cone: couple candidates are seeded with the
+                # IMPLICIT contact's normal force (fn = kn·d − (kd+κ)·vn, the
+                # same law the velocity solve applied — matches the world
+                # engine's fn_star seeding)
+                if is_cpl:
+                    kn_c = c["kn_stiff"] / (tau_c * tau_c)
+                    kd_c = 2.0 * c["kn_stiff"] / tau_c
+                    fn_seed = jnp.maximum(
+                        kn_c * jnp.maximum(depth, 0.0) - (kd_c + dt * kn_c) * vn, 0.0
+                    )
+                elif c["has_b"] and (c["a_free"] != c["b_free"]):
                     fn_seed = (c["kn_stiff"] / (tau_c * tau_c)) * jnp.maximum(depth, 0.0)
                 else:
                     fn_seed = 0.0
@@ -777,6 +963,15 @@ def dynamics_lanes(scene, masks_list, state, pos, quat, linv, angv, axis_w,
                 jt = L.scale3(jt_try, sc)
                 lam_t_mag[ci] = lam_t_mag[ci] + jt_norm * sc
                 imp = L.add3(imp, jt)
+                if DEBUG_SWEEPS:
+                    print(
+                        f"  cand {ci} {c['kind']}{c['extra']} ga{c['ga']} gb{c['gb']} "
+                        f"d={float(depth[0,0]):+.4f} vn={float(vn[0,0]):+.3f} "
+                        f"k_n={float(k_n[0,0]) if hasattr(k_n,'shape') else k_n:.1f} "
+                        f"dlam={float(d_imp[0,0]):+.5f} "
+                        f"jt=({float(jt[0][0,0]):+.5f},{float(jt[1][0,0]):+.5f},{float(jt[2][0,0]):+.5f}) "
+                        f"cap={float(cap[0,0]):.4f}"
+                    )
                 for b, fr, sgn in ((c["ba"], c["a_free"], 1.0), (c["bb"], c["b_free"], -1.0)):
                     if not fr:
                         continue
@@ -787,6 +982,84 @@ def dynamics_lanes(scene, masks_list, state, pos, quat, linv, angv, axis_w,
                     tor = L.cross3(r, si)
                     dang = tuple(sum(invIw[b][i][j] * tor[j] for j in range(3)) for i in range(3))
                     new_rav[ai2] = L.add3(new_rav[ai2], dang)
+                if is_cpl:
+                    # articulated reaction: spatial impulse about the origin
+                    b_g = c["ba"] if c["a_art"] else c["bb"]
+                    si = L.scale3(imp, 1.0 if c["a_art"] else -1.0)
+                    Yc = (*L.cross3(pt, si), *si)
+                    Yb = Y_body[b_g]
+                    for r in range(6):
+                        Yb[r] = Yb[r] + Yc[r]
+                    # immediate per-link velocity update (GS freshness)
+                    psi = art_ctx[body_actor_art[b_g]]["psi"][b_g]
+                    dV = [sum(psi[r][cc_] * Yc[cc_] for cc_ in range(6)) for r in range(6)]
+                    v6 = v6_art[b_g]
+                    v6_art[b_g] = [v6[r] + dV[r] for r in range(6)]
+            # exact generalized fold-back per couple actor: u += M⁻¹ΦᵀY
+            for aid in couple_aids:
+                ctx = art_ctx[aid]
+                S_l, m_l, bo_l, nv_l = ctx["S"], ctx["m"], ctx["bo"], ctx["nv"]
+                rhsY = [0.0] * nv_l
+                for b_g in ctx["art_bodies"]:
+                    lb = b_g - bo_l
+                    Yb = Y_body[b_g]
+                    for j in range(nv_l):
+                        if m_l.subtree[j, lb]:
+                            rhsY[j] = rhsY[j] + sum(S_l[j][r] * Yb[r] for r in range(6))
+                dU = L.cholesky_solve_factored(ctx["L_chol"], rhsY)
+                unew_by[aid] = [unew_by[aid][j] + dU[j] for j in range(nv_l)]
+            return _pack_carry(new_rlv, new_rav, lam_n, lam_t_mag, unew_by)
+
+        # per-candidate accumulators persisting across sweeps: the normal
+        # impulse λ_n (≥ 0 projection) and ONE scalar tangential magnitude —
+        # without it, each sweep re-applies friction up to the full cone and
+        # total friction can reach sweeps× the cone in sliding regimes.
+        carry0 = _pack_carry(
+            {ai2: new_rlv[ai2] for ai2 in defer_list},
+            {ai2: new_rav[ai2] for ai2 in defer_list},
+            [0.0] * n_fc, [0.0] * n_fc,
+            {aid: art_ctx[aid]["u_new"] for aid in couple_aids},
+        )
+        if DEBUG_SWEEPS:
+            carry = carry0
+            for s_ in range(impulse_sweeps):   # eager, printable
+                carry = _sweep_body(s_, carry)
+        else:
+            carry = jax.lax.fori_loop(0, impulse_sweeps, _sweep_body, carry0)
+        rlv_f, rav_f, _, _, unew_f = _unpack_carry(carry)
+        for ai2 in defer_list:
+            new_rlv[ai2] = rlv_f[ai2]
+            new_rav[ai2] = rav_f[ai2]
+        for aid in couple_aids:
+            art_ctx[aid]["u_new"] = unew_f[aid]
+
+    # deferred articulated integration (couple actors) with impulse-corrected
+    # generalized velocities
+    for aid, ctx in art_ctx.items():
+        art, m, bo, do = ctx["art"], ctx["m"], ctx["bo"], ctx["do"]
+        base, u_new = ctx["base"], ctx["u_new"]
+        if base:
+            w_new = (u_new[0], u_new[1], u_new[2])
+            v_o = (u_new[3], u_new[4], u_new[5])
+            p_r = state["root_pos"][aid]
+            v_r = L.add3(v_o, L.cross3(w_new, p_r))
+            wcap = float(scene.max_root_angvel)
+            vcap = float(scene.max_root_linvel)
+            w_new = tuple(jnp.clip(cc_, -wcap, wcap) for cc_ in w_new)
+            v_r = tuple(jnp.clip(cc_, -vcap, vcap) for cc_ in v_r)
+            new_rlv[aid] = v_r
+            new_rav[aid] = w_new
+            new_rp[aid] = L.fma3(p_r, v_r, dt)
+            new_rq[aid] = L.qintegrate(state["root_quat"][aid], w_new, dt)
+        for kdof in range(art.ndof):
+            dglob = do + kdof
+            qd_k = u_new[ctx["base"] + kdof]
+            mv = float(art.dof_maxvel[kdof])
+            qd_k = jnp.clip(qd_k, -mv, mv)
+            qk = state["q"][dglob] + dt * qd_k
+            qk = jnp.clip(qk, float(art.dof_lower[kdof]) - 1e-3, float(art.dof_upper[kdof]) + 1e-3)
+            new_q[dglob] = qk
+            new_qd[dglob] = qd_k
 
     # deferred free-body position integration with corrected velocities
     for ai2 in deferred:
@@ -814,7 +1087,10 @@ def substep_lanes(scene, tables, masks_list, state, fric_scale, mass_scale, dt,
     new_state = dynamics_lanes(
         scene, masks_list, state, pos, quat, linv, angv, axis_w,
         plk_n, plk_f, mass_scale, dt,
-        free_cands=free_cands if impulse_sweeps > 0 else None,
+        # candidates always flow: couple contacts are solved IMPLICITLY in the
+        # velocity solve even in penalty-only mode (impulse_sweeps=0 only
+        # disables the GS sweeps)
+        free_cands=free_cands,
         impulse_sweeps=impulse_sweeps, fric_scale=fric_scale,
     )
     new_state["net_cf"] = net_cf

@@ -34,6 +34,43 @@ from .fused_physics import LaneView, fk_lanes, substep_lanes
 TILE = 1024  # samples per grid cell = 8 sublanes × 128 lanes
 
 
+def unpack_rows(arr, A, D, B):
+    """(NS, 8, 128) kernel rows → state dict of tile tuples."""
+    st = {
+        "root_pos": [], "root_quat": [], "root_linvel": [], "root_angvel": [],
+        "q": [], "qd": [], "net_cf": [],
+    }
+    r = 0
+    for a in range(A):
+        st["root_pos"].append((arr[r], arr[r + 1], arr[r + 2]))
+        st["root_quat"].append((arr[r + 3], arr[r + 4], arr[r + 5], arr[r + 6]))
+        st["root_linvel"].append((arr[r + 7], arr[r + 8], arr[r + 9]))
+        st["root_angvel"].append((arr[r + 10], arr[r + 11], arr[r + 12]))
+        r += 13
+    for d in range(D):
+        st["q"].append(arr[r]); r += 1
+    for d in range(D):
+        st["qd"].append(arr[r]); r += 1
+    for b in range(B):
+        st["net_cf"].append((arr[r], arr[r + 1], arr[r + 2]))
+        r += 3
+    return st
+
+
+def pack_rows(st, A, B):
+    rows = []
+    for a in range(A):
+        rows += list(st["root_pos"][a]) + list(st["root_quat"][a])
+        rows += list(st["root_linvel"][a]) + list(st["root_angvel"][a])
+    rows += list(st["q"]) + list(st["qd"])
+    ncf = st.get("net_cf", [(0.0, 0.0, 0.0)] * B)
+    zero = rows[0] * 0.0
+    for b in range(B):
+        for cmp_ in ncf[b]:
+            rows.append(cmp_ + zero if isinstance(cmp_, float) else cmp_)
+    return jnp.stack(rows)
+
+
 class FusedRollout:
     def __init__(
         self,
@@ -77,39 +114,10 @@ class FusedRollout:
     # state packing helpers (kernel side: python lists of (8,128) tiles)
     # ------------------------------------------------------------------
     def _unpack(self, arr):
-        A, D, B = self.A, self.D, self.B
-        st = {
-            "root_pos": [], "root_quat": [], "root_linvel": [], "root_angvel": [],
-            "q": [], "qd": [], "net_cf": [],
-        }
-        r = 0
-        for a in range(A):
-            st["root_pos"].append((arr[r], arr[r + 1], arr[r + 2]))
-            st["root_quat"].append((arr[r + 3], arr[r + 4], arr[r + 5], arr[r + 6]))
-            st["root_linvel"].append((arr[r + 7], arr[r + 8], arr[r + 9]))
-            st["root_angvel"].append((arr[r + 10], arr[r + 11], arr[r + 12]))
-            r += 13
-        for d in range(D):
-            st["q"].append(arr[r]); r += 1
-        for d in range(D):
-            st["qd"].append(arr[r]); r += 1
-        for b in range(B):
-            st["net_cf"].append((arr[r], arr[r + 1], arr[r + 2]))
-            r += 3
-        return st
+        return unpack_rows(arr, self.A, self.D, self.B)
 
     def _pack(self, st):
-        rows = []
-        for a in range(self.A):
-            rows += list(st["root_pos"][a]) + list(st["root_quat"][a])
-            rows += list(st["root_linvel"][a]) + list(st["root_angvel"][a])
-        rows += list(st["q"]) + list(st["qd"])
-        ncf = st.get("net_cf", [(0.0, 0.0, 0.0)] * self.B)
-        zero = rows[0] * 0.0
-        for b in range(self.B):
-            for cmp_ in ncf[b]:
-                rows.append(cmp_ + zero if isinstance(cmp_, float) else cmp_)
-        return jnp.stack(rows)
+        return pack_rows(st, self.A, self.B)
 
     # ------------------------------------------------------------------
     def _kernel(self, state_ref, V_ref, mass_ref, fric_ref, cost_ref, vis_ref):
@@ -248,3 +256,118 @@ class FusedRollout:
         costs = self._from_lanes(costs_l)                  # (K, H)
         vis = jnp.moveaxis(self._from_lanes(vis_l.astype(jnp.float32)), 0, 1)  # (H,K,3)
         return costs, vis
+
+
+class FusedWorldStep:
+    """The 1-env WORLD control step as ONE Pallas kernel.
+
+    The XLA world path is launch-overhead-bound on this backend (~20 µs per
+    fusion × thousands of small fusions ≈ 50 ms per dt — RT 0.7, below the
+    reference's own real-time bar, `examples/panda/world.py:52-59`). Here the
+    whole dt (all substeps of full-fidelity physics: implicit couple contacts,
+    two-way GS impulse sweeps) is one kernel launch; the env rides in lane
+    (0,0) of a single tile. `impulse_sweeps` defaults higher than the rollout
+    kernel's 2 — the world pays it once per dt, not K×H times.
+    """
+
+    def __init__(self, built, engine, impulse_sweeps: int = 8, interpret: bool = False):
+        from ...physics.dynamics import build_actor_masks
+
+        self.built = built
+        self.engine = engine
+        self.scene = built.scene
+        self.impulse_sweeps = impulse_sweeps
+        self.interpret = interpret
+        self.masks_list = [build_actor_masks(a) for a in self.scene.actors]
+        s = self.scene
+        self.A, self.D, self.B = s.nactor, s.ndof, s.nbody
+        self.NS = 13 * self.A + 2 * self.D + 3 * self.B
+        self._run = jax.jit(self._build_call())
+
+    def _kernel(self, state_ref, tgt_ref, mass_ref, fric_ref, out_ref):
+        scene = self.scene
+        dt_sub = self.engine.dt_sub
+        substeps = self.engine.substeps
+        mass_tiles = [mass_ref[b] for b in range(self.B)]
+        fric_tiles = [fric_ref[g] for g in range(self.scene.ngeom)]
+        tgt = [tgt_ref[d] for d in range(self.D)]
+
+        def sub_body(_, arr_s):
+            s2 = unpack_rows(arr_s, self.A, self.D, self.B)
+            s2["dof_target"] = tgt
+            s2 = substep_lanes(
+                scene, self.engine.tables, self.masks_list, s2,
+                fric_tiles, mass_tiles, dt_sub,
+                impulse_sweeps=self.impulse_sweeps,
+            )
+            return pack_rows(s2, self.A, self.B)
+
+        out_ref[:] = jax.lax.fori_loop(0, substeps, sub_body, state_ref[:])
+
+    def _build_call(self):
+        NS, D, B, NG = self.NS, self.D, self.B, self.scene.ngeom
+        grid_spec = pl.GridSpec(
+            grid=(1,),
+            in_specs=[
+                pl.BlockSpec((NS, 8, 128), lambda g: (0, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((max(D, 1), 8, 128), lambda g: (0, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((B, 8, 128), lambda g: (0, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((NG, 8, 128), lambda g: (0, 0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((NS, 8, 128), lambda g: (0, 0, 0), memory_space=pltpu.VMEM),
+        )
+
+        def run(state_arr, tgt_arr, mass_arr, fric_arr):
+            return pl.pallas_call(
+                self._kernel,
+                grid_spec=grid_spec,
+                out_shape=jax.ShapeDtypeStruct((NS, 8, 128), jnp.float32),
+                interpret=self.interpret,
+                # default scoped-vmem budget is 16 MB; the rolled sweep carry +
+                # operational-space blocks (Ψ, factors) need a little more on
+                # grasp scenes — raise toward the physical VMEM like the
+                # upstream pallas flash-attention kernels do
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=64 * 1024 * 1024
+                ),
+            )(state_arr, tgt_arr, mass_arr, fric_arr)
+
+        return run
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _bcast(v):
+        """scalar vector (n,) → (n, 8, 128) tiles (env 0 in every lane)."""
+        return jnp.broadcast_to(v[:, None, None], (v.shape[0], 8, 128))
+
+    def step_rows(self, rows, tgt, mass_scale, geom_friction):
+        """rows (NS,), tgt (D,), scales (B,)/(G,) → new rows (NS,).
+        Jit-friendly: everything stays on device."""
+        out = self._run(
+            self._bcast(rows),
+            self._bcast(tgt if self.D else jnp.zeros((1,), jnp.float32)),
+            self._bcast(mass_scale),
+            self._bcast(geom_friction),
+        )
+        return out[:, 0, 0]
+
+    def step(self, state, params):
+        """SimState (1-env, no leading axis) → SimState after one control dt.
+        Body caches are refreshed; the warm-start cache rides through
+        unchanged (the kernel's GS sweeps replace Jacobi warm starting)."""
+        A, D, B = self.A, self.D, self.B
+        rows = jnp.concatenate([
+            state.root_state.reshape(13 * A),
+            state.q, state.qd,
+            jnp.zeros((3 * B,), jnp.float32),
+        ])
+        out = self.step_rows(
+            rows, state.dof_target, params.body_mass_scale, params.geom_friction
+        )
+        st = state.with_root_state(out[: 13 * A].reshape(A, 13))
+        st = st._replace(
+            q=out[13 * A : 13 * A + D],
+            qd=out[13 * A + D : 13 * A + 2 * D],
+            net_contact_force=out[13 * A + 2 * D :].reshape(B, 3),
+        )
+        return self.engine.refresh(st)

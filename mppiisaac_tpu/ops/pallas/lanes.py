@@ -172,10 +172,11 @@ def mat_add(A, B):
     return [[A[i][j] + B[i][j] for j in range(len(A[0]))] for i in range(len(A))]
 
 
-def cholesky_solve(M, b, eps=1e-9):
-    """Solve M x = b for SPD M (nested lists of tiles), unrolled —
-    mirrors physics/linalg.solve_psd."""
-    n = len(b)
+def cholesky_factor(M, eps=1e-9):
+    """Lower-triangular Cholesky factor of SPD M (nested lists of tiles),
+    unrolled. Factor once, back-substitute many (couple-contact solves reuse
+    the factor for Ψ columns and per-sweep generalized responses)."""
+    n = len(M)
     L = [[None] * n for _ in range(n)]
     for j in range(n):
         d = M[j][j]
@@ -189,6 +190,12 @@ def cholesky_solve(M, b, eps=1e-9):
             for k in range(j):
                 s = s - L[i][k] * L[j][k]
             L[i][j] = s * inv
+    return L
+
+
+def cholesky_solve_factored(L, b):
+    """Back-substitute with a factor from cholesky_factor."""
+    n = len(b)
     y = [None] * n
     for i in range(n):
         s = b[i]
@@ -202,3 +209,9 @@ def cholesky_solve(M, b, eps=1e-9):
             s = s - L[k][i] * x[k]
         x[i] = s / L[i][i]
     return x
+
+
+def cholesky_solve(M, b, eps=1e-9):
+    """Solve M x = b for SPD M (nested lists of tiles), unrolled —
+    mirrors physics/linalg.solve_psd."""
+    return cholesky_solve_factored(cholesky_factor(M, eps), b)

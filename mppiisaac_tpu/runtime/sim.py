@@ -113,7 +113,32 @@ class Simulation:
                 body_mass_scale=jnp.ones((self.num_envs, self.built.scene.nbody), jnp.float32),
                 geom_friction=jnp.ones((self.num_envs, self.built.scene.ngeom), jnp.float32),
             )
-        self._step_fn = jax.jit(jax.vmap(self.engine.step))
+        use_fused = self.cfg.fused_world
+        if use_fused is None:
+            use_fused = self.num_envs == 1 and jax.default_backend() not in ("cpu",)
+        if use_fused and self.num_envs == 1:
+            # whole control step as ONE Pallas kernel: the XLA path pays ~20 µs
+            # launch overhead per fusion (~50 ms/step, RT<1 — RESULTS round 1);
+            # fused, the world step is a single launch
+            from ..ops.pallas.fused_rollout import FusedWorldStep
+
+            fw = FusedWorldStep(
+                self.built, self.engine,
+                impulse_sweeps=self.cfg.fused_world_sweeps,
+                interpret=jax.default_backend() == "cpu",
+            )
+            self._fused_world = fw
+
+            def _step1(state, params):
+                st0 = jax.tree.map(lambda x: x[0], state)
+                pr0 = jax.tree.map(lambda x: x[0], params)
+                out = fw.step(st0, pr0)
+                return jax.tree.map(lambda x: x[None], out)
+
+            self._step_fn = jax.jit(_step1)
+        else:
+            self._fused_world = None
+            self._step_fn = jax.jit(jax.vmap(self.engine.step))
         self._refresh_fn = jax.jit(jax.vmap(self.engine.refresh))
         self.state = broadcast_state(
             self.built.initial_state(self.engine), self.num_envs

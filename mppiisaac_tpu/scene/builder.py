@@ -37,6 +37,11 @@ class SimConfig:
     viewer: bool = False
     num_obstacles: int = 10
     spacing: float = 6.0              # parity field (envs are implicit under vmap)
+    # world-step execution path: None = auto (fused Pallas kernel for 1-env
+    # sims on an accelerator — one launch instead of thousands of
+    # launch-overhead-bound fusions; XLA otherwise). True/False force it.
+    fused_world: Optional[bool] = None
+    fused_world_sweeps: int = 8       # GS impulse sweeps in the fused world step
 
 
 @dataclass

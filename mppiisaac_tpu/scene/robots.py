@@ -370,8 +370,25 @@ def anymal() -> str:
     return u.xml()
 
 
+def mini_gripper() -> str:
+    """Minimal 2-DOF parallel gripper (fixed hand + two prismatic box
+    fingers) — a test vector for articulated↔free grasp coupling that keeps
+    interpret-mode candidate counts small (pair a SPHERE object with it)."""
+    u = U("mini_gripper")
+    u.link("hand", mass=0.5,
+           geoms=[("box", (0.04, 0.1, 0.03), (0, 0, 0.1), (0, 0, 0))])
+    for fi, sy in (("1", 1), ("2", -1)):
+        u.link(f"finger{fi}", mass=0.015,
+               geoms=[("box", (0.03, 0.012, 0.04), (0, 0, -0.04), (0, 0, 0))])
+        u.joint(f"finger_joint{fi}", "prismatic", "hand", f"finger{fi}",
+                xyz=(0, sy * 0.0, 0.07), axis=(0, sy, 0),
+                lower=0.0, upper=0.05, effort=20, velocity=0.2)
+    return u.xml()
+
+
 ROBOTS = {
     "point_robot": point_robot,
+    "mini_gripper": mini_gripper,
     "heijn": heijn,
     "boxer": boxer,
     "jackal": jackal,
