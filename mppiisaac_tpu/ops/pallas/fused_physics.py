@@ -454,7 +454,7 @@ def contacts_lanes(scene, tables, pos, quat, linv, angv, fric_scale, dt_sub):
             # impulse sweeps (carrying ~9 live tiles × hundreds of candidates
             # here overflows the kernel VMEM stack)
             free_cands.append(
-                dict(ga=ga, gb=gb, kind=kind, extra=extra,
+                dict(ga=ga, gb=gb, kind=kind, extra=extra, idx=idx,
                      ga_geom=int(tables.con_geom_a[idx]),
                      gb_geom=int(tables.con_geom_b[idx]),
                      kn_stiff=float(tables.kn_base[idx]),
@@ -511,10 +511,18 @@ def _mat6vec(M6, v):
 
 def dynamics_lanes(scene, masks_list, state, pos, quat, linv, angv, axis_w,
                    plk_n, plk_f, mass_scale, dt, free_cands=None,
-                   impulse_sweeps=2, fric_scale=None):
+                   impulse_sweeps=2, fric_scale=None,
+                   world_fidelity=False):
     """Implicit velocity update + integration for every dynamic actor.
     masks_list: per-actor ActorMasks (from physics.dynamics.build_actor_masks).
-    mass_scale: list of per-body tiles (or floats). Mutates/returns new state dict."""
+    mass_scale: list of per-body tiles (or floats). Mutates/returns new state dict.
+
+    world_fidelity=True (the fused WORLD step; K=1 so VMEM is plentiful)
+    upgrades the impulse sweeps to the world engine's full treatment:
+    per-candidate VECTOR tangential impulses with exact cone projection,
+    PhysX-style warm starting from state["lam"] (persisting across substeps
+    and control steps), and the post-sweep stiction snap — a held grasp drifts
+    mm/s off the pads without these (see contact.impulse_contact_pass)."""
     new_state = dict(state)
     deferred = []            # free single-body actors awaiting impulse pass
     new_q = list(state["q"])
@@ -828,16 +836,23 @@ def dynamics_lanes(scene, masks_list, state, pos, quat, linv, angv, axis_w,
 
         def _pack_carry(rlv, rav, ln, lt, unew):
             # velocities/generalized coords stay f32; the per-candidate λ
-            # accumulators (the bulk: 2 tiles × n_candidates) ride bf16 —
-            # they are cone bounds/projections, 0.4% relative error is far
-            # below the solver's own convergence tolerance, and they dominate
-            # the fori carry's VMEM footprint (double-buffered by the loop)
+            # accumulators (the bulk) ride bf16 — they are cone bounds/
+            # projections, 0.4% relative error is far below the solver's own
+            # convergence tolerance, and they dominate the fori carry's VMEM
+            # footprint (double-buffered by the loop). lt entries are
+            # 3-tuples (world_fidelity: exact vector cone) or scalar
+            # magnitudes (rollout kernel: VMEM-lean bound).
             rows = []
             for ai2 in defer_list:
                 rows += [_tile(v) for v in rlv[ai2]] + [_tile(v) for v in rav[ai2]]
             for aid in couple_aids:
                 rows += [_tile(v) for v in unew[aid]]
-            lam_rows = [_tile(v) for v in ln] + [_tile(v) for v in lt]
+            lam_rows = [_tile(v) for v in ln]
+            if world_fidelity:
+                for t3 in lt:
+                    lam_rows += [_tile(t3[i]) for i in range(3)]
+            else:
+                lam_rows += [_tile(v) for v in lt]
             return jnp.stack(rows), jnp.stack(lam_rows).astype(jnp.bfloat16)
 
         def _unpack_carry(carry):
@@ -854,11 +869,17 @@ def dynamics_lanes(scene, masks_list, state, pos, quat, linv, angv, axis_w,
                 unew[aid] = [arr[r + i] for i in range(nv_a)]
                 r += nv_a
             ln = [lam_arr[i] for i in range(n_fc)]
-            lt = [lam_arr[n_fc + i] for i in range(n_fc)]
+            if world_fidelity:
+                lt = [
+                    (lam_arr[n_fc + 3 * i], lam_arr[n_fc + 3 * i + 1], lam_arr[n_fc + 3 * i + 2])
+                    for i in range(n_fc)
+                ]
+            else:
+                lt = [lam_arr[n_fc + i] for i in range(n_fc)]
             return rlv, rav, ln, lt, unew
 
         def _sweep_body(_, carry):
-            new_rlv, new_rav, lam_n, lam_t_mag, unew_by = _unpack_carry(carry)
+            new_rlv, new_rav, lam_n, lam_t_acc, unew_by = _unpack_carry(carry)
             # live post-solve spatial velocities (ω, v_O) of articulated
             # contact links, refreshed from the carried u at sweep start
             v6_art: Dict[int, list] = {}
@@ -958,10 +979,22 @@ def dynamics_lanes(scene, masks_list, state, pos, quat, linv, angv, axis_w,
                 fb_ = (fric_scale[c["gb_geom"]] if c["has_b"] else fa_) if fric_scale is not None else 1.0
                 mu_c = c["mu0"] * 0.5 * (fa_ + fb_)
                 cap = mu_c * (lam_n[ci] + fn_seed * dt)
-                cap_left = jnp.maximum(cap - lam_t_mag[ci], 0.0)
-                sc = jnp.minimum(1.0, cap_left / jnp.maximum(jt_norm, 1e-9))
-                jt = L.scale3(jt_try, sc)
-                lam_t_mag[ci] = lam_t_mag[ci] + jt_norm * sc
+                if world_fidelity:
+                    # exact vector cone projection on the ACCUMULATED
+                    # tangential impulse (identical to the world engine's
+                    # impulse_contact_pass — stiction must converge tightly
+                    # or a grasped object drifts through the pads)
+                    lam_t_new = L.add3(lam_t_acc[ci], jt_try)
+                    ltn = L.norm3(lam_t_new, eps=1e-9)
+                    sc = jnp.minimum(1.0, cap / ltn)
+                    lam_t_proj = L.scale3(lam_t_new, sc)
+                    jt = L.sub3(lam_t_proj, lam_t_acc[ci])
+                    lam_t_acc[ci] = lam_t_proj
+                else:
+                    cap_left = jnp.maximum(cap - lam_t_acc[ci], 0.0)
+                    sc = jnp.minimum(1.0, cap_left / jnp.maximum(jt_norm, 1e-9))
+                    jt = L.scale3(jt_try, sc)
+                    lam_t_acc[ci] = lam_t_acc[ci] + jt_norm * sc
                 imp = L.add3(imp, jt)
                 if DEBUG_SWEEPS:
                     print(
@@ -1008,16 +1041,68 @@ def dynamics_lanes(scene, masks_list, state, pos, quat, linv, angv, axis_w,
                             rhsY[j] = rhsY[j] + sum(S_l[j][r] * Yb[r] for r in range(6))
                 dU = L.cholesky_solve_factored(ctx["L_chol"], rhsY)
                 unew_by[aid] = [unew_by[aid][j] + dU[j] for j in range(nv_l)]
-            return _pack_carry(new_rlv, new_rav, lam_n, lam_t_mag, unew_by)
+            return _pack_carry(new_rlv, new_rav, lam_n, lam_t_acc, unew_by)
 
         # per-candidate accumulators persisting across sweeps: the normal
-        # impulse λ_n (≥ 0 projection) and ONE scalar tangential magnitude —
-        # without it, each sweep re-applies friction up to the full cone and
-        # total friction can reach sweeps× the cone in sliding regimes.
+        # impulse λ_n (≥ 0 projection) and the tangential impulse — a vector
+        # with exact cone projection in world_fidelity mode, a scalar
+        # magnitude bound otherwise (without either, each sweep re-applies
+        # friction up to the full cone and total friction can reach sweeps×
+        # the cone in sliding regimes).
+        lam0_n = [0.0] * n_fc
+        lam0_t = [(0.0, 0.0, 0.0) if world_fidelity else 0.0] * n_fc
+        lam_warm = state.get("lam") if world_fidelity else None
+        if lam_warm is not None:
+            # PhysX-style persistent-contact warm start: re-apply last
+            # substep's converged impulses on currently-active candidates,
+            # then let the sweeps correct the (small) error. Candidates are a
+            # static table, so row ci is always the same pair.
+            Yw_body = {b_g: [0.0] * 6 for b_g in body_actor_art}
+            for ci, c in enumerate(free_cands):
+                pt, n, depth_raw = candidate_geometry(
+                    scene, c["ga"], c["gb"], c["kind"], c["extra"], pos, quat
+                )
+                act = (jnp.minimum(depth_raw, dcap) > 0.0).astype(jnp.float32)
+                lnw = lam_warm[ci][0] * act
+                ltw = tuple(lam_warm[ci][1 + i] * act for i in range(3))
+                lam0_n[ci] = lnw
+                lam0_t[ci] = ltw
+                imp = L.add3(L.scale3(n, lnw), ltw)
+                for b, fr, sgn in ((c["ba"], c["a_free"], 1.0), (c["bb"], c["b_free"], -1.0)):
+                    if not fr:
+                        continue
+                    ai2 = body2actor[b]
+                    si = L.scale3(imp, sgn)
+                    new_rlv[ai2] = L.fma3(new_rlv[ai2], si, inv_m[b])
+                    r = L.sub3(pt, state["root_pos"][ai2])
+                    tor = L.cross3(r, si)
+                    dang = tuple(sum(invIw[b][i][j] * tor[j] for j in range(3)) for i in range(3))
+                    new_rav[ai2] = L.add3(new_rav[ai2], dang)
+                if c.get("a_art") or c.get("b_art"):
+                    b_g = c["ba"] if c["a_art"] else c["bb"]
+                    si = L.scale3(imp, 1.0 if c["a_art"] else -1.0)
+                    Yc = (*L.cross3(pt, si), *si)
+                    Yb = Yw_body[b_g]
+                    for r in range(6):
+                        Yb[r] = Yb[r] + Yc[r]
+            # exact generalized response of the warm impulses on the arms
+            for aid in couple_aids:
+                ctx = art_ctx[aid]
+                S_l, m_l, bo_l, nv_l = ctx["S"], ctx["m"], ctx["bo"], ctx["nv"]
+                rhsY = [0.0] * nv_l
+                for b_g in ctx["art_bodies"]:
+                    lb = b_g - bo_l
+                    Yb = Yw_body[b_g]
+                    for j in range(nv_l):
+                        if m_l.subtree[j, lb]:
+                            rhsY[j] = rhsY[j] + sum(S_l[j][r] * Yb[r] for r in range(6))
+                dU = L.cholesky_solve_factored(ctx["L_chol"], rhsY)
+                ctx["u_new"] = [ctx["u_new"][j] + dU[j] for j in range(nv_l)]
+
         carry0 = _pack_carry(
             {ai2: new_rlv[ai2] for ai2 in defer_list},
             {ai2: new_rav[ai2] for ai2 in defer_list},
-            [0.0] * n_fc, [0.0] * n_fc,
+            lam0_n, lam0_t,
             {aid: art_ctx[aid]["u_new"] for aid in couple_aids},
         )
         if DEBUG_SWEEPS:
@@ -1026,12 +1111,98 @@ def dynamics_lanes(scene, masks_list, state, pos, quat, linv, angv, axis_w,
                 carry = _sweep_body(s_, carry)
         else:
             carry = jax.lax.fori_loop(0, impulse_sweeps, _sweep_body, carry0)
-        rlv_f, rav_f, _, _, unew_f = _unpack_carry(carry)
+        rlv_f, rav_f, lamf_n, lamf_t, unew_f = _unpack_carry(carry)
         for ai2 in defer_list:
             new_rlv[ai2] = rlv_f[ai2]
             new_rav[ai2] = rav_f[ai2]
         for aid in couple_aids:
             art_ctx[aid]["u_new"] = unew_f[aid]
+        if world_fidelity:
+            new_state["lam"] = [
+                (lamf_n[ci], lamf_t[ci][0], lamf_t[ci][1], lamf_t[ci][2])
+                for ci in range(n_fc)
+            ]
+
+        if world_fidelity and body_actor_art:
+            # ---- stiction snap (couple contacts; see contact.impulse_
+            # contact_pass): finish convergence with one direct 6×6 LS per
+            # free body matching its rigid motion to the articulated side at
+            # all sticking couple points. Clamped to 5 cm/s — it may only
+            # finish convergence, never act as an energy-injecting constraint.
+            v6f: Dict[int, list] = {}
+            for aid in couple_aids:
+                ctx = art_ctx[aid]
+                S_l, m_l, bo_l = ctx["S"], ctx["m"], ctx["bo"]
+                u_l = ctx["u_new"]
+                for b_g in ctx["art_bodies"]:
+                    lb = b_g - bo_l
+                    v6 = [0.0] * 6
+                    for j in range(ctx["nv"]):
+                        if m_l.subtree[j, lb]:
+                            for r in range(6):
+                                v6[r] = v6[r] + S_l[j][r] * u_l[j]
+                    v6f[b_g] = v6
+            A_by: Dict[int, list] = {}
+            b_by: Dict[int, list] = {}
+            for ci, c in enumerate(free_cands):
+                if not (c.get("a_art") or c.get("b_art")):
+                    continue
+                pt, n, depth_raw = candidate_geometry(
+                    scene, c["ga"], c["gb"], c["kind"], c["extra"], pos, quat
+                )
+                depth = jnp.minimum(depth_raw, dcap)
+                act = (depth > 0.0).astype(jnp.float32)
+                b_art_g = c["ba"] if c["a_art"] else c["bb"]
+                b_free_g = c["bb"] if c["a_art"] else c["ba"]
+                e_snap = -1.0 if c["a_art"] else 1.0   # +1 when the FREE body is side a
+                ai2 = body2actor[b_free_g]
+                v_free = L.add3(new_rlv[ai2], L.cross3(new_rav[ai2], L.sub3(pt, state["root_pos"][ai2])))
+                v6 = v6f[b_art_g]
+                v_art = L.add3((v6[3], v6[4], v6[5]), L.cross3((v6[0], v6[1], v6[2]), pt))
+                # v_rel in candidate (a−b) order
+                v_rel = L.sub3(v_art, v_free) if c["a_art"] else L.sub3(v_free, v_art)
+                # sticking: strictly inside the cone
+                vn_f = L.dot3(v_rel, n)
+                kn_c = c["kn_stiff"] / (tau_c * tau_c)
+                kd_c = 2.0 * c["kn_stiff"] / tau_c
+                fn_imp = jnp.maximum(
+                    kn_c * jnp.maximum(depth, 0.0) - (kd_c + dt * kn_c) * vn_f, 0.0
+                )
+                fa_ = fric_scale[c["ga_geom"]] if fric_scale is not None else 1.0
+                fb_ = (fric_scale[c["gb_geom"]] if c["has_b"] else fa_) if fric_scale is not None else 1.0
+                mu_c = c["mu0"] * 0.5 * (fa_ + fb_)
+                cap_f = mu_c * (lamf_n[ci] + fn_imp * dt)
+                lt_n = L.norm3(lamf_t[ci], eps=0.0)
+                w_st = act * (lt_n < 0.98 * cap_f).astype(jnp.float32)
+                r_free = L.sub3(pt, state["root_pos"][ai2])
+                # X (3,6): point-velocity map of the free body, ξ=(Δω, Δv)
+                # rows: v_pt = Δv + Δω×r → X = [−skew(r) | I]
+                sk = (
+                    (0.0, r_free[2], -r_free[1]),
+                    (-r_free[2], 0.0, r_free[0]),
+                    (r_free[1], -r_free[0], 0.0),
+                )   # = −skew(r)
+                P = [[(1.0 if i == j else 0.0) - n[i] * n[j] for j in range(3)] for i in range(3)]
+                X = [[sk[i][0], sk[i][1], sk[i][2], 1.0 if i == 0 else 0.0,
+                      1.0 if i == 1 else 0.0, 1.0 if i == 2 else 0.0] for i in range(3)]
+                if b_free_g not in A_by:
+                    A_by[b_free_g] = [[0.0] * 6 for _ in range(6)]
+                    b_by[b_free_g] = [0.0] * 6
+                PX = [[sum(P[i][k2] * X[k2][j] for k2 in range(3)) for j in range(6)] for i in range(3)]
+                Pv = [sum(P[i][k2] * (e_snap * v_rel[k2]) for k2 in range(3)) for i in range(3)]
+                A_c = A_by[b_free_g]
+                b_c = b_by[b_free_g]
+                for i in range(6):
+                    b_c[i] = b_c[i] - w_st * sum(X[k2][i] * Pv[k2] for k2 in range(3))
+                    for j in range(6):
+                        A_c[i][j] = A_c[i][j] + w_st * sum(X[k2][i] * PX[k2][j] for k2 in range(3))
+            for b_free_g, A_c in A_by.items():
+                ai2 = body2actor[b_free_g]
+                A_reg = [[A_c[i][j] + (1e-4 if i == j else 0.0) for j in range(6)] for i in range(6)]
+                xi = L.cholesky_solve(A_reg, b_by[b_free_g])
+                xi = [jnp.clip(x, -0.05, 0.05) for x in xi]
+                new_rav[ai2] = L.add3(new_rav[ai2], (xi[0], xi[1], xi[2]))
+                new_rlv[ai2] = L.add3(new_rlv[ai2], (xi[3], xi[4], xi[5]))
 
     # deferred articulated integration (couple actors) with impulse-corrected
     # generalized velocities
@@ -1077,7 +1248,7 @@ def dynamics_lanes(scene, masks_list, state, pos, quat, linv, angv, axis_w,
 
 
 def substep_lanes(scene, tables, masks_list, state, fric_scale, mass_scale, dt,
-                  impulse_sweeps=2):
+                  impulse_sweeps=2, world_fidelity=False):
     """One full substep; returns (new_state, LaneView of the pre-integration
     snapshot with contact forces — used by cost terms after the last substep)."""
     pos, quat, linv, angv, axis_w = fk_lanes(scene, state)
@@ -1092,9 +1263,33 @@ def substep_lanes(scene, tables, masks_list, state, fric_scale, mass_scale, dt,
         # disables the GS sweeps)
         free_cands=free_cands,
         impulse_sweeps=impulse_sweeps, fric_scale=fric_scale,
+        world_fidelity=world_fidelity,
     )
     new_state["net_cf"] = net_cf
     return new_state
+
+
+def free_cand_indices(scene, tables) -> np.ndarray:
+    """Contact-table indices of the impulse-pass candidates, in the order
+    contacts_lanes enumerates them (ascending table order). The fused world
+    step uses this to map its persistent-λ rows onto SimState.contact_lam —
+    sharing the warm-start cache with the XLA engine's impulse pass."""
+    from ...physics.contact import _free_body_mask
+
+    free = _free_body_mask(scene)
+    ga = tables.con_geom_a
+    gb = tables.con_geom_b
+    out = []
+    for idx in range(tables.n_con):
+        a_is_free = free[scene.geom_body[ga[idx]]] > 0
+        b_is_free = gb[idx] >= 0 and free[scene.geom_body[gb[idx]]] > 0
+        if a_is_free or b_is_free:
+            out.append(idx)
+    return np.asarray(out, np.int64)
+
+
+def n_free_cands(scene, tables) -> int:
+    return len(free_cand_indices(scene, tables))
 
 
 def view_of(scene, state):

@@ -272,6 +272,7 @@ class FusedWorldStep:
 
     def __init__(self, built, engine, impulse_sweeps: int = 8, interpret: bool = False):
         from ...physics.dynamics import build_actor_masks
+        from .fused_physics import free_cand_indices
 
         self.built = built
         self.engine = engine
@@ -282,6 +283,12 @@ class FusedWorldStep:
         s = self.scene
         self.A, self.D, self.B = s.nactor, s.ndof, s.nbody
         self.NS = 13 * self.A + 2 * self.D + 3 * self.B
+        # persistent contact-impulse rows (λ_n + λ_t vector per impulse
+        # candidate) — warm starting across substeps AND control steps,
+        # shared with SimState.contact_lam via the table-index map
+        self.fc_idx = free_cand_indices(s, engine.tables)
+        self.n_fc = len(self.fc_idx)
+        self.NSW = self.NS + 4 * self.n_fc
         self._run = jax.jit(self._build_call())
 
     def _kernel(self, state_ref, tgt_ref, mass_ref, fric_ref, out_ref):
@@ -291,37 +298,53 @@ class FusedWorldStep:
         mass_tiles = [mass_ref[b] for b in range(self.B)]
         fric_tiles = [fric_ref[g] for g in range(self.scene.ngeom)]
         tgt = [tgt_ref[d] for d in range(self.D)]
+        NS, n_fc = self.NS, self.n_fc
 
-        def sub_body(_, arr_s):
+        def sub_body(i, arr_s):
             s2 = unpack_rows(arr_s, self.A, self.D, self.B)
             s2["dof_target"] = tgt
+            if n_fc:
+                s2["lam"] = [
+                    (arr_s[NS + 4 * ci], arr_s[NS + 4 * ci + 1],
+                     arr_s[NS + 4 * ci + 2], arr_s[NS + 4 * ci + 3])
+                    for ci in range(n_fc)
+                ]
             s2 = substep_lanes(
                 scene, self.engine.tables, self.masks_list, s2,
                 fric_tiles, mass_tiles, dt_sub,
                 impulse_sweeps=self.impulse_sweeps,
+                world_fidelity=True,
             )
-            return pack_rows(s2, self.A, self.B)
+            rows = pack_rows(s2, self.A, self.B)
+            if n_fc:
+                lam = s2.get("lam")
+                if lam is not None:
+                    lam_rows = jnp.stack([lam[ci][k] for ci in range(n_fc) for k in range(4)])
+                else:
+                    lam_rows = arr_s[NS:]
+                rows = jnp.concatenate([rows, lam_rows])
+            return rows
 
         out_ref[:] = jax.lax.fori_loop(0, substeps, sub_body, state_ref[:])
 
     def _build_call(self):
-        NS, D, B, NG = self.NS, self.D, self.B, self.scene.ngeom
+        NSW, D, B, NG = self.NSW, self.D, self.B, self.scene.ngeom
         grid_spec = pl.GridSpec(
             grid=(1,),
             in_specs=[
-                pl.BlockSpec((NS, 8, 128), lambda g: (0, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((NSW, 8, 128), lambda g: (0, 0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((max(D, 1), 8, 128), lambda g: (0, 0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((B, 8, 128), lambda g: (0, 0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((NG, 8, 128), lambda g: (0, 0, 0), memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((NS, 8, 128), lambda g: (0, 0, 0), memory_space=pltpu.VMEM),
+            out_specs=pl.BlockSpec((NSW, 8, 128), lambda g: (0, 0, 0), memory_space=pltpu.VMEM),
         )
 
         def run(state_arr, tgt_arr, mass_arr, fric_arr):
             return pl.pallas_call(
                 self._kernel,
                 grid_spec=grid_spec,
-                out_shape=jax.ShapeDtypeStruct((NS, 8, 128), jnp.float32),
+                out_shape=jax.ShapeDtypeStruct((NSW, 8, 128), jnp.float32),
                 interpret=self.interpret,
                 # default scoped-vmem budget is 16 MB; the rolled sweep carry +
                 # operational-space blocks (Ψ, factors) need a little more on
@@ -353,14 +376,24 @@ class FusedWorldStep:
 
     def step(self, state, params):
         """SimState (1-env, no leading axis) → SimState after one control dt.
-        Body caches are refreshed; the warm-start cache rides through
-        unchanged (the kernel's GS sweeps replace Jacobi warm starting)."""
+        Body caches are refreshed; the persistent-λ cache rides in
+        SimState.contact_lam — the same rows the XLA engine warm-starts from,
+        so the two world paths share grasp-hold continuity."""
         A, D, B = self.A, self.D, self.B
-        rows = jnp.concatenate([
+        NS = self.NS
+        parts = [
             state.root_state.reshape(13 * A),
             state.q, state.qd,
             jnp.zeros((3 * B,), jnp.float32),
-        ])
+        ]
+        if self.n_fc:
+            lam = state.contact_lam
+            if lam is None or lam.shape[-2:] != (self.engine.tables.n_con, 4):
+                lam_sel = jnp.zeros((self.n_fc, 4), jnp.float32)
+            else:
+                lam_sel = lam[self.fc_idx]
+            parts.append(lam_sel.reshape(4 * self.n_fc))
+        rows = jnp.concatenate(parts)
         out = self.step_rows(
             rows, state.dof_target, params.body_mass_scale, params.geom_friction
         )
@@ -368,6 +401,12 @@ class FusedWorldStep:
         st = st._replace(
             q=out[13 * A : 13 * A + D],
             qd=out[13 * A + D : 13 * A + 2 * D],
-            net_contact_force=out[13 * A + 2 * D :].reshape(B, 3),
+            net_contact_force=out[13 * A + 2 * D : NS].reshape(B, 3),
         )
+        if self.n_fc and state.contact_lam is not None and \
+                state.contact_lam.shape[-2:] == (self.engine.tables.n_con, 4):
+            lam_out = out[NS:].reshape(self.n_fc, 4)
+            st = st._replace(
+                contact_lam=state.contact_lam.at[self.fc_idx].set(lam_out)
+            )
         return self.engine.refresh(st)

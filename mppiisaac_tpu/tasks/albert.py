@@ -60,3 +60,11 @@ def run(overrides=None, **kw):
         return float(np.linalg.norm(ee - goal)) < 0.15
 
     return run_task(cfg, obj, success_fn=success, **kw)
+
+
+if __name__ == "__main__":
+    import sys
+
+    from ..utils.confsys import parse_cli
+
+    print(run(parse_cli(sys.argv[1:]), verbose=True).summary())

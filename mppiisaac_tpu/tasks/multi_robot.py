@@ -75,3 +75,11 @@ def run(overrides=None, **kw):
         return d0 < 0.2 and d1 < 0.2
 
     return run_task(cfg, obj, success_fn=success, **kw)
+
+
+if __name__ == "__main__":
+    import sys
+
+    from ..utils.confsys import parse_cli
+
+    print(run(parse_cli(sys.argv[1:]), verbose=True).summary())
