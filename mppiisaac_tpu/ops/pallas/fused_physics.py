@@ -432,6 +432,8 @@ def contacts_lanes(scene, tables, pos, quat, linv, angv, fric_scale, dt_sub):
         b_is_free = has_b and float(tables.b_free[idx]) > 0
         a_is_art = float(tables.a_art[idx]) > 0
         b_is_art = has_b and float(tables.b_art[idx]) > 0
+        a_is_sta = float(tables.a_sta[idx]) > 0
+        b_is_sta = has_b and float(tables.b_sta[idx]) > 0
         force_a, fn_a = force_with(kb_soft if a_is_free else kb)
         if has_b:
             if b_is_free == a_is_free:
@@ -449,7 +451,7 @@ def contacts_lanes(scene, tables, pos, quat, linv, angv, fric_scale, dt_sub):
             plk_n[bb] = L.sub3(plk_n[bb], nO_b)
             plk_f[bb] = L.sub3(plk_f[bb], force_b)
             net_cf[bb] = L.sub3(net_cf[bb], force_b)
-        if a_is_free or b_is_free:
+        if a_is_free or b_is_free or a_is_sta or b_is_sta:
             # STATIC descriptor only — geometry is recomputed inside the
             # impulse sweeps (carrying ~9 live tiles × hundreds of candidates
             # here overflows the kernel VMEM stack)
@@ -461,7 +463,8 @@ def contacts_lanes(scene, tables, pos, quat, linv, angv, fric_scale, dt_sub):
                      mu0=float(tables.mu_base[idx]),
                      ba=ba, bb=bb, has_b=has_b,
                      a_free=a_is_free, b_free=b_is_free,
-                     a_art=a_is_art, b_art=b_is_art)
+                     a_art=a_is_art, b_art=b_is_art,
+                     a_sta=a_is_sta, b_sta=b_is_sta)
             )
     return plk_n, plk_f, net_cf, free_cands
 
@@ -538,6 +541,7 @@ def dynamics_lanes(scene, masks_list, state, pos, quat, linv, angv, axis_w,
     # terms) and the GS sweeps TWO-WAY (joint-space effective mass Ψ) —
     # mirroring physics/stacked.py + contact.impulse_contact_pass.
     couple_by_actor: Dict[int, list] = {}
+    sta_bodies_by_actor: Dict[int, set] = {}
     if free_cands:
         for c in free_cands:
             if c.get("a_art") or c.get("b_art"):
@@ -547,6 +551,12 @@ def dynamics_lanes(scene, masks_list, state, pos, quat, linv, angv, axis_w,
                 cc["art_body"] = art_b
                 cc["e"] = 1.0 if c["a_art"] else -1.0
                 couple_by_actor.setdefault(aid, []).append(cc)
+            # art↔static stiction candidates need the actor's Ψ/factor too
+            # (friction-only — they add NO implicit normal terms)
+            if c.get("a_sta") or c.get("b_sta"):
+                art_b = c["ba"] if c["a_sta"] else c["bb"]
+                aid = int(scene.body_actor[art_b])
+                sta_bodies_by_actor.setdefault(aid, set()).add(art_b)
     # per-actor solve context kept live for the sweeps (factored mass matrix,
     # generalized velocities, subspaces) — integration deferred for these
     art_ctx: Dict[int, dict] = {}
@@ -707,6 +717,7 @@ def dynamics_lanes(scene, masks_list, state, pos, quat, linv, angv, axis_w,
         Msolve = [[M[i][j] + ((dt * d_imp[i] + 1e-8) if i == j else 0.0) for j in range(nv)] for i in range(nv)]
 
         cpl = couple_by_actor.get(ai)
+        sta_bodies = sta_bodies_by_actor.get(ai)
         if cpl:
             # implicit couple-contact terms (grasping — see stacked_substep):
             #   M += dt(kd+κ)·JᵀJ,  rhs += dt·Jᵀ(e·kn·d⁺ + (kd+κ)·v_oth_n)
@@ -738,13 +749,15 @@ def dynamics_lanes(scene, masks_list, state, pos, quat, linv, angv, axis_w,
                     for j in sub_coords:
                         Msolve[i][j] = Msolve[i][j] + coefM * Jc[i] * Jc[j]
 
-        if cpl:
+        if cpl or sta_bodies:
             L_chol = L.cholesky_factor(Msolve)
             u_new = L.cholesky_solve_factored(L_chol, rhs)
             # joint-space operational inverse inertia Ψ_b = Φ_b M⁻¹ Φ_bᵀ per
             # contact link (consumed by the two-way GS sweeps)
             psi_by_body = {}
-            art_bodies = sorted({c["art_body"] for c in cpl})
+            art_bodies = sorted(
+                {c["art_body"] for c in (cpl or [])} | (sta_bodies or set())
+            )
             for b_g in art_bodies:
                 lb = b_g - bo
                 sub_coords = [j for j in range(nv) if m.subtree[j, lb]]
@@ -799,7 +812,7 @@ def dynamics_lanes(scene, masks_list, state, pos, quat, linv, angv, axis_w,
     # updates through the per-link Ψ, plus an EXACT generalized fold-back
     # ΔU = M⁻¹ΦᵀY at the end of every sweep (the per-link Ψ alone misses the
     # cross-finger coupling that grasp capture depends on).
-    if deferred and free_cands and impulse_sweeps > 0:
+    if free_cands and impulse_sweeps > 0 and (deferred or art_ctx):
         beta, slop = 0.2, 2e-3
         dcap = float(scene.max_contact_depth)
         tau_c = max(2.0 * dt, 1e-3)
@@ -820,6 +833,30 @@ def dynamics_lanes(scene, masks_list, state, pos, quat, linv, angv, axis_w,
         for aid, ctx in art_ctx.items():
             for b_g in ctx["art_bodies"]:
                 body_actor_art[b_g] = aid
+
+        # active-candidate count per articulated ACTOR (contact geometry is
+        # constant across sweeps, so count once per substep). The sweeps'
+        # per-link Ψ updates make candidates on different links blind to each
+        # other within a sweep — Jacobi across legs — and unsplit impulses
+        # over-correct the shared floating base into a runaway slide (the
+        # same failure the world engine's per-actor n_eff prevents). The
+        # art-side effective mass is inflated by this count instead.
+        art_act_count: Dict[int, object] = {}
+        if body_actor_art:
+            for c in free_cands:
+                art_side_c = (c.get("a_art") or c.get("b_art")
+                              or c.get("a_sta") or c.get("b_sta"))
+                if not art_side_c:
+                    continue
+                b_g = c["ba"] if (c.get("a_art") or c.get("a_sta")) else c["bb"]
+                aid = body_actor_art[b_g]
+                _, _, d_raw = candidate_geometry(
+                    scene, c["ga"], c["gb"], c["kind"], c["extra"], pos, quat
+                )
+                act_c = (jnp.minimum(d_raw, dcap) > 0.0).astype(jnp.float32)
+                art_act_count[aid] = art_act_count.get(aid, 0.0) + act_c
+            for aid in list(art_act_count):
+                art_act_count[aid] = jnp.maximum(art_act_count[aid], 1.0)
 
         # ---- rolled sweep loop: the body compiles ONCE (lax.fori_loop) ----
         # An unrolled 8-sweep loop over hundreds of candidates exploded
@@ -919,7 +956,11 @@ def dynamics_lanes(scene, masks_list, state, pos, quat, linv, angv, axis_w,
                 vb = body_vel_at(c["bb"], pt) if c["has_b"] else (0.0, 0.0, 0.0)
                 v_rel = L.sub3(va, vb)
                 vn = L.dot3(v_rel, n)
-                is_cpl = bool(c.get("a_art") or c.get("b_art")) and TWO_WAY_SWEEPS
+                is_sta_c = bool(c.get("a_sta") or c.get("b_sta"))
+                is_cpl = (
+                    bool(c.get("a_art") or c.get("b_art")) or is_sta_c
+                ) and TWO_WAY_SWEEPS
+                art_is_a = bool(c.get("a_art") or c.get("a_sta"))
 
                 def k_dir(d3):
                     """effective inverse mass along direction d3 (unit) —
@@ -941,19 +982,28 @@ def dynamics_lanes(scene, masks_list, state, pos, quat, linv, angv, axis_w,
                         )
                         k = k + inv_m[b2] + L.dot3(rxd, Iw_rxd)
                     if is_cpl:
-                        b2 = c["ba"] if c["a_art"] else c["bb"]
-                        psi2 = art_ctx[body_actor_art[b2]]["psi"][b2]
+                        b2 = c["ba"] if art_is_a else c["bb"]
+                        aid2 = body_actor_art[b2]
+                        psi2 = art_ctx[aid2]["psi"][b2]
                         X6d = (*L.cross3(pt, d3), *d3)
                         pX = [sum(psi2[r][cc_] * X6d[cc_] for cc_ in range(6)) for r in range(6)]
-                        k = k + sum(X6d[r] * pX[r] for r in range(6))
+                        # per-actor Jacobi splitting (see art_act_count)
+                        k = k + art_act_count.get(aid2, 1.0) * sum(
+                            X6d[r] * pX[r] for r in range(6)
+                        )
                     return k
 
-                k_n = k_dir(n)
-                d_lam = jnp.where(active, -(vn - target) / k_n, 0.0)
-                new_lam = jnp.maximum(lam_n[ci] + d_lam, 0.0)
-                d_imp = new_lam - lam_n[ci]
-                lam_n[ci] = new_lam
-                imp = L.scale3(n, d_imp)
+                if is_sta_c:
+                    # art↔static: FRICTION-ONLY (normal carried by the stiff
+                    # penalty — an impulse on top would double the support)
+                    imp = (0.0, 0.0, 0.0)
+                else:
+                    k_n = k_dir(n)
+                    d_lam = jnp.where(active, -(vn - target) / k_n, 0.0)
+                    new_lam = jnp.maximum(lam_n[ci] + d_lam, 0.0)
+                    d_imp = new_lam - lam_n[ci]
+                    lam_n[ci] = new_lam
+                    imp = L.scale3(n, d_imp)
                 # friction (cone-projected accumulated tangential impulse)
                 vt = L.sub3(v_rel, L.scale3(n, vn))
                 vt_n = L.norm3(vt, eps=1e-9)
@@ -965,7 +1015,15 @@ def dynamics_lanes(scene, masks_list, state, pos, quat, linv, angv, axis_w,
                 # IMPLICIT contact's normal force (fn = kn·d − (kd+κ)·vn, the
                 # same law the velocity solve applied — matches the world
                 # engine's fn_star seeding)
-                if is_cpl:
+                if is_sta_c:
+                    # cone seed = the stiff penalty's normal force on the
+                    # articulated side (the law contacts_lanes applied)
+                    kn_c = c["kn_stiff"] / (tau_c * tau_c)
+                    kd_c = 2.0 * c["kn_stiff"] / tau_c
+                    fn_seed = jnp.maximum(
+                        kn_c * jnp.maximum(depth, 0.0) - kd_c * vn, 0.0
+                    )
+                elif is_cpl:
                     kn_c = c["kn_stiff"] / (tau_c * tau_c)
                     kd_c = 2.0 * c["kn_stiff"] / tau_c
                     fn_seed = jnp.maximum(
@@ -1017,8 +1075,8 @@ def dynamics_lanes(scene, masks_list, state, pos, quat, linv, angv, axis_w,
                     new_rav[ai2] = L.add3(new_rav[ai2], dang)
                 if is_cpl:
                     # articulated reaction: spatial impulse about the origin
-                    b_g = c["ba"] if c["a_art"] else c["bb"]
-                    si = L.scale3(imp, 1.0 if c["a_art"] else -1.0)
+                    b_g = c["ba"] if art_is_a else c["bb"]
+                    si = L.scale3(imp, 1.0 if art_is_a else -1.0)
                     Yc = (*L.cross3(pt, si), *si)
                     Yb = Y_body[b_g]
                     for r in range(6):
@@ -1078,9 +1136,10 @@ def dynamics_lanes(scene, masks_list, state, pos, quat, linv, angv, axis_w,
                     tor = L.cross3(r, si)
                     dang = tuple(sum(invIw[b][i][j] * tor[j] for j in range(3)) for i in range(3))
                     new_rav[ai2] = L.add3(new_rav[ai2], dang)
-                if c.get("a_art") or c.get("b_art"):
-                    b_g = c["ba"] if c["a_art"] else c["bb"]
-                    si = L.scale3(imp, 1.0 if c["a_art"] else -1.0)
+                if c.get("a_art") or c.get("b_art") or c.get("a_sta") or c.get("b_sta"):
+                    art_a_ = bool(c.get("a_art") or c.get("a_sta"))
+                    b_g = c["ba"] if art_a_ else c["bb"]
+                    si = L.scale3(imp, 1.0 if art_a_ else -1.0)
                     Yc = (*L.cross3(pt, si), *si)
                     Yb = Yw_body[b_g]
                     for r in range(6):
@@ -1283,7 +1342,8 @@ def free_cand_indices(scene, tables) -> np.ndarray:
     for idx in range(tables.n_con):
         a_is_free = free[scene.geom_body[ga[idx]]] > 0
         b_is_free = gb[idx] >= 0 and free[scene.geom_body[gb[idx]]] > 0
-        if a_is_free or b_is_free:
+        is_sta = tables.a_sta[idx] > 0 or tables.b_sta[idx] > 0
+        if a_is_free or b_is_free or is_sta:
             out.append(idx)
     return np.asarray(out, np.int64)
 

@@ -105,6 +105,16 @@ class FusedRollout:
         s = self.scene
         self.A, self.D, self.B = s.nactor, s.ndof, s.nbody
         self.NS = 13 * self.A + 2 * self.D + 3 * self.B
+        # persistent-λ rows: rollouts run the same world-fidelity contact
+        # treatment as the world step (vector cone + warm start + stiction
+        # snap), with λ carried across the whole H×substeps trajectory and
+        # SEEDED from the world's converged contact state — the planner
+        # model's grasp-hold prediction matches the world engine
+        from .fused_physics import free_cand_indices
+
+        self.fc_idx = free_cand_indices(s, engine.tables)
+        self.n_fc = len(self.fc_idx)
+        self.NSR = self.NS + 4 * self.n_fc
         self._run = jax.jit(self._build_call())
 
     def retrace(self):
@@ -119,6 +129,13 @@ class FusedRollout:
     def _pack(self, st):
         return pack_rows(st, self.A, self.B)
 
+    def _pack_full(self, st, arr_prev):
+        """state rows + the persistent-λ rows carried from arr_prev."""
+        rows = self._pack(st)
+        if self.n_fc:
+            rows = jnp.concatenate([rows, arr_prev[self.NS:]])
+        return rows
+
     # ------------------------------------------------------------------
     def _kernel(self, state_ref, V_ref, mass_ref, fric_ref, cost_ref, vis_ref):
         scene, tables = self.scene, self.engine.tables
@@ -129,6 +146,8 @@ class FusedRollout:
 
         mass_tiles = [mass_ref[b] for b in range(self.B)]
         fric_tiles = [fric_ref[g] for g in range(self.scene.ngeom)]
+
+        NS, n_fc = self.NS, self.n_fc
 
         def h_body(t, arr):
             st = self._unpack(arr)
@@ -152,13 +171,30 @@ class FusedRollout:
             def sub_body(_, arr_s):
                 s2 = self._unpack(arr_s)
                 s2["dof_target"] = tgt
+                if n_fc:
+                    s2["lam"] = [
+                        (arr_s[NS + 4 * ci], arr_s[NS + 4 * ci + 1],
+                         arr_s[NS + 4 * ci + 2], arr_s[NS + 4 * ci + 3])
+                        for ci in range(n_fc)
+                    ]
                 s2 = substep_lanes(
                     scene, tables, self.masks_list, s2, fric_tiles, mass_tiles, dt_sub,
                     impulse_sweeps=self.impulse_sweeps,
+                    world_fidelity=True,
                 )
-                return self._pack(s2)
+                rows = self._pack(s2)
+                if n_fc:
+                    lam = s2.get("lam")
+                    if lam is not None:
+                        lam_rows = jnp.stack(
+                            [lam[ci][k] for ci in range(n_fc) for k in range(4)]
+                        )
+                    else:
+                        lam_rows = arr_s[NS:]
+                    rows = jnp.concatenate([rows, lam_rows])
+                return rows
 
-            arr = jax.lax.fori_loop(0, substeps, sub_body, self._pack(st))
+            arr = jax.lax.fori_loop(0, substeps, sub_body, self._pack_full(st, arr))
 
             # cost on the post-step state
             stf = self._unpack(arr)
@@ -180,7 +216,7 @@ class FusedRollout:
         jax.lax.fori_loop(0, self.H, h_body, arr0)
 
     def _build_call(self):
-        H, nu, NS, G = self.H, self.nu, self.NS, self.G
+        H, nu, NS, G = self.H, self.nu, self.NSR, self.G
         B, NG = self.B, self.scene.ngeom
 
         grid_spec = pl.GridSpec(
@@ -210,6 +246,12 @@ class FusedRollout:
                     jax.ShapeDtypeStruct((H, 3, 8 * G, 128), jnp.bfloat16),
                 ),
                 interpret=self.interpret,
+                # see FusedWorldStep: the default 16 MB scoped-vmem budget is
+                # a few hundred KB short on grasp scenes since the couple-
+                # contact solve (Ψ blocks, factors) joined the kernel
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=64 * 1024 * 1024
+                ),
             )(state_arr, V_arr, mass_arr, fric_arr)
 
         return run
@@ -236,15 +278,23 @@ class FusedRollout:
         """sim_state_K: SimState with leading K; params_K: ModelParams (K,·);
         V_khn: (K, H, nu). Returns (costs (K,H), vis (H,K,3))."""
         A, D = self.A, self.D
-        rows = jnp.concatenate(
-            [
-                sim_state_K.root_state.reshape(self.K, 13 * A),
-                sim_state_K.q,
-                sim_state_K.qd,
-                jnp.zeros((self.K, 3 * self.B), jnp.float32),
-            ],
-            axis=1,
-        )                                                  # (K, NS)
+        parts = [
+            sim_state_K.root_state.reshape(self.K, 13 * A),
+            sim_state_K.q,
+            sim_state_K.qd,
+            jnp.zeros((self.K, 3 * self.B), jnp.float32),
+        ]
+        if self.n_fc:
+            # seed the rollout's persistent λ from the WORLD's converged
+            # contact impulses: a rollout branching from a held grasp starts
+            # with the grip's stiction already resolved
+            lam = sim_state_K.contact_lam
+            if lam is not None and lam.shape[-2:] == (self.engine.tables.n_con, 4):
+                lam_sel = lam[:, self.fc_idx, :].reshape(self.K, 4 * self.n_fc)
+            else:
+                lam_sel = jnp.zeros((self.K, 4 * self.n_fc), jnp.float32)
+            parts.append(lam_sel)
+        rows = jnp.concatenate(parts, axis=1)              # (K, NSR)
         return self._rollout_packed(rows, params_K, V_khn)
 
     def _rollout_packed(self, rows, params_K, V_khn):

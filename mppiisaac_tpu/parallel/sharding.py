@@ -40,12 +40,18 @@ def shard_batched_state(state, mesh: Mesh):
     )
 
 
-def sharded_command(planner_mppi, mesh: Mesh):
+def sharded_command(planner_mppi, mesh: Mesh, fused_factory=None):
     """Build a shard_map'ped version of an MPPIPlanner's command.
 
     planner_mppi: mppiisaac_tpu.mppi.solver.MPPIPlanner. Returns a function
     (carry, state0_K) -> (action, carry, info) where state0_K's leading K axis
     is sharded over mesh axis "k". The solver's K must divide the mesh size.
+
+    fused_factory: optional ``K_shard -> FusedRollout`` — gives every shard
+    the fused Pallas rollout kernel over its K/n lanes (without it the shards
+    run the XLA vmap-of-scan path, which is launch-overhead-bound on real
+    chips — 140× slower measured, RESULTS round 1). The psum softmax
+    reductions are unchanged: the kernel only replaces the per-shard rollout.
     """
     n = mesh.devices.size
     cfg = planner_mppi.cfg
@@ -67,6 +73,7 @@ def sharded_command(planner_mppi, mesh: Mesh):
         running_cost=planner_mppi.running_cost,
         prior=planner_mppi.prior,
         vis_fn=planner_mppi.vis_fn,
+        fused=fused_factory(K // n) if fused_factory is not None else None,
     )
     # global softmax: β/η/Σwε reductions inside _command_impl become psums
     local.axis_name = "k"
@@ -85,6 +92,9 @@ def sharded_command(planner_mppi, mesh: Mesh):
         mesh=mesh,
         in_specs=(P(), P("k")),
         out_specs=(P(), P(), P("k")),
+        # pallas_call outputs carry no varying-mesh-axes annotation; skip the
+        # vma check (the out_specs above already pin the sharding)
+        check_vma=False,
     )
     def cmd(carry, state0):
         shard_id = jax.lax.axis_index("k")

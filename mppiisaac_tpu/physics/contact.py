@@ -58,6 +58,13 @@ class ContactTables:
     # impulse pass through its joint-space effective mass J M⁻¹ Jᵀ
     a_art: np.ndarray = field(default_factory=lambda: np.zeros(0, np.float32))
     b_art: np.ndarray = field(default_factory=lambda: np.zeros(0, np.float32))
+    # articulated STICTION contacts (locomotion): side is on a FLOATING-base
+    # articulated actor and the other side is static (plane / fixed actor).
+    # The smoothed Coulomb penalty alone lets feet creep (viscous below
+    # friction_smoothing_vel — a standing quadruped skates ~1 cm/s); these
+    # candidates join the impulse pass FRICTION-ONLY (normal stays penalty)
+    a_sta: np.ndarray = field(default_factory=lambda: np.zeros(0, np.float32))
+    b_sta: np.ndarray = field(default_factory=lambda: np.zeros(0, np.float32))
     art_bodies: tuple = ()       # body indices needing an operational-space Ψ
     acc_a: np.ndarray = field(default_factory=lambda: np.zeros((0, 0), np.float32))  # (B, n_con) +1 one-hot
     acc_b: np.ndarray = field(default_factory=lambda: np.zeros((0, 0), np.float32))  # (B, n_con) +1 one-hot (0 for plane)
@@ -162,7 +169,17 @@ def build_contact_tables(scene: SceneModel) -> ContactTables:
     b_free_l = np.zeros(n, np.float32)
     a_art_l = np.zeros(n, np.float32)
     b_art_l = np.zeros(n, np.float32)
+    a_sta_l = np.zeros(n, np.float32)
+    b_sta_l = np.zeros(n, np.float32)
     art_bodies: set = set()
+    # floating-base articulated bodies (legged/mobile robots) get stiction
+    # impulses against STATIC geometry — a fixed-base arm doesn't need them
+    floating = np.zeros(scene.nbody, np.float32)
+    for ai, a_ in enumerate(scene.actors):
+        if not a_.fixed_base and (a_.ndof > 0 or a_.nbody > 1):
+            o = scene.body_offset[ai]
+            floating[o : o + a_.nbody] = 1.0
+    static = 1.0 - np.maximum(free, art)      # fixed actors (planes are b<0)
     for c, (a, b) in enumerate(zip(ga_l, gb_l)):
         ba_ = scene.geom_body[a]
         a_free_l[c] = free[ba_]
@@ -180,6 +197,16 @@ def build_contact_tables(scene: SceneModel) -> ContactTables:
             art_bodies.add(int(ba_))
         if fa_ and b >= 0 and art[scene.geom_body[b]] > 0:
             b_art_l[c] = 1.0
+            art_bodies.add(int(scene.geom_body[b]))
+        # articulated↔static: friction-only stiction impulses (foot-skating
+        # fix) for floating-base robots against planes / fixed actors
+        other_static = (b < 0) or static[scene.geom_body[b]] > 0
+        if floating[ba_] > 0 and art[ba_] > 0 and other_static:
+            a_sta_l[c] = 1.0
+            art_bodies.add(int(ba_))
+        if b >= 0 and floating[scene.geom_body[b]] > 0 and art[scene.geom_body[b]] > 0 \
+                and static[ba_] > 0:
+            b_sta_l[c] = 1.0
             art_bodies.add(int(scene.geom_body[b]))
     mu = np.asarray([
         0.5 * (scene.geom_friction[a] + scene.geom_friction[b]) if b >= 0
@@ -207,7 +234,9 @@ def build_contact_tables(scene: SceneModel) -> ContactTables:
         con_geom_a=ga_arr, con_geom_b=gb_arr,
         kn_base=meff / npts, kn_base_soft=meff_soft / npts, mu_base=mu,
         a_free=a_free_l, b_free=b_free_l,
-        a_art=a_art_l, b_art=b_art_l, art_bodies=tuple(sorted(art_bodies)),
+        a_art=a_art_l, b_art=b_art_l,
+        a_sta=a_sta_l, b_sta=b_sta_l,
+        art_bodies=tuple(sorted(art_bodies)),
         acc_a=acc_a, acc_b=acc_b,
     )
 
@@ -458,13 +487,17 @@ def compute_contact_forces(
     net_cf = jnp.matmul(jnp.asarray(tables.acc_a, dt_), force_a, precision=P) - jnp.matmul(
         jnp.asarray(tables.acc_b, dt_), force_b, precision=P
     )
-    # fn_stiff rides along for COUPLE candidates only (articulated↔free): the
+    # fn_stiff rides along for COUPLE candidates (articulated↔free — the
     # impulse pass seeds its friction cone with the actual normal force the
-    # articulated side exerts (a pinched light body otherwise sees only
-    # impulse-scale friction caps and squirts out of grasps). Ground/static
-    # contacts keep impulse-derived caps — seeding them over-grips the floor.
+    # articulated side exerts; a pinched light body otherwise sees only
+    # impulse-scale friction caps and squirts out of grasps) and for
+    # ART↔STATIC stiction candidates (their normal never enters the impulse
+    # pass, so fn_stiff is their ONLY cone cap — feet would otherwise have a
+    # zero friction budget and keep skating). FREE-body ground contacts keep
+    # impulse-derived caps — seeding those over-grips the floor.
     couple = jnp.asarray(
-        ((tables.a_free > 0) != (tables.b_free > 0)) & (tables.con_geom_b >= 0),
+        (((tables.a_free > 0) != (tables.b_free > 0)) & (tables.con_geom_b >= 0))
+        | (tables.a_sta > 0) | (tables.b_sta > 0),
         dt_,
     )
     contact_geom = {"point": point, "normal": normal, "depth": depth, "mu": mu,
@@ -558,9 +591,16 @@ def impulse_contact_pass(
     has_b = (tables.con_geom_b >= 0).astype(np.float32)
     a_free = free[ba]                                         # static (n,)
     b_free = free[bb] * has_b
-    a_art = tables.a_art if psi is not None else np.zeros_like(a_free)
-    b_art = tables.b_art if psi is not None else np.zeros_like(b_free)
-    touched = (a_free + b_free) > 0
+    if psi is not None:
+        # articulated participation: two-way couple (art↔free) plus
+        # friction-only stiction (art↔static, the foot-skating fix)
+        a_art = np.maximum(tables.a_art, tables.a_sta)
+        b_art = np.maximum(tables.b_art, tables.b_sta)
+    else:
+        a_art = np.zeros_like(a_free)
+        b_art = np.zeros_like(b_free)
+    is_sta = np.maximum(tables.a_sta, tables.b_sta) if psi is not None else np.zeros_like(a_free)
+    touched = (a_free + b_free + a_art + b_art) > 0
     if not touched.any():
         return (body_linvel, body_angvel, jnp.zeros_like(body_pos),
                 jnp.zeros((B, 6), dt_), jnp.zeros((tables.n_con, 4), dt_))
@@ -642,6 +682,24 @@ def impulse_contact_pass(
     A_b_art = A_b_bin * bmask_art[None, :]
     Y_total = jnp.zeros((B, 6), dt_)
 
+    # articulated mass-splitting must count per ACTOR, not per body: four
+    # feet couple through the shared floating base, so per-body counts let
+    # the base receive ~4× the correction per Jacobi iteration — a standing
+    # quadruped's stiction then pumps the base into a runaway slide
+    art_act_idx = np.zeros(tables.n_con, np.int64)
+    A_act = np.zeros((scene.nactor, tables.n_con), np.float32)
+    for c_ in range(tables.n_con):
+        if a_art[c_] > 0:
+            aid_ = int(scene.body_actor[ba[c_]])
+        elif b_art[c_] > 0:
+            aid_ = int(scene.body_actor[bb[c_]])
+        else:
+            continue
+        art_act_idx[c_] = aid_
+        A_act[aid_, c_] = 1.0
+    A_act_j = jnp.asarray(A_act)
+    amask_art_any = jnp.asarray(np.maximum(a_art, b_art), dt_)
+
     def apply_imp(imp, lin, ang, Y_total):
         """Apply per-candidate world impulses (n,3) at `point` to free bodies
         (A gets +imp, B gets −imp) and articulated links (two-way reaction)."""
@@ -705,10 +763,18 @@ def impulse_contact_pass(
         count = jnp.matmul(A_a_bin, act_f, precision=jax.lax.Precision.HIGHEST) + jnp.matmul(
             A_b_bin, act_f, precision=jax.lax.Precision.HIGHEST
         )
+        count_act = jnp.matmul(A_act_j, act_f, precision=jax.lax.Precision.HIGHEST)
         n_eff = jnp.maximum(
-            (amask + amask_art) * count[ba] + (bmask + bmask_art) * count[bb], 1.0
+            amask * count[ba] + bmask * count[bb]
+            + amask_art_any * count_act[art_act_idx], 1.0
         )
-        d_lam = jnp.where(active, -(vn - target) / (k_n * n_eff) * relax, 0.0)
+        # art↔static stiction candidates are FRICTION-ONLY: their normal is
+        # already carried by the stiff penalty (an impulse on top would
+        # double-count the support force)
+        d_lam = jnp.where(
+            active & (jnp.asarray(is_sta, dt_) == 0.0),
+            -(vn - target) / (k_n * n_eff) * relax, 0.0,
+        )
         new_lam = jnp.maximum(lam_n + d_lam, 0.0)
         d_imp = new_lam - lam_n
         lam_n = new_lam

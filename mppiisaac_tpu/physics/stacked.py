@@ -625,7 +625,8 @@ def stacked_substep(
 
     free_rows = _free_body_mask(scene)
     run_impulse = (
-        use_impulse and tables is not None and cgeom is not None and free_rows.any()
+        use_impulse and tables is not None and cgeom is not None
+        and (free_rows.any() or tables.a_sta.any() or tables.b_sta.any())
     )
     lin2 = ang2 = None
     if run_impulse:

@@ -162,6 +162,29 @@ class MPPIisaacPlanner:
     def built(self):
         return self.sim.built
 
+    def fused_factory(self):
+        """``K_shard -> FusedRollout`` for the multi-chip sharded path
+        (parallel/sharding.sharded_command): every shard gets the fused
+        Pallas kernel over its own K/n lanes. None when the objective has no
+        kernel cost."""
+        objective = self.objective
+        if not hasattr(objective, "kernel_cost"):
+            return None
+        built, engine, cfg = self.built, self.sim.engine, self.cfg
+
+        def make(K_shard):
+            from ..ops.pallas.fused_rollout import FusedRollout
+
+            return FusedRollout(
+                built, engine,
+                cost_fn=objective.kernel_cost(built.scene),
+                H=cfg.mppi.horizon, K=K_shard,
+                vis_body=built.visualize_bodies[0] if built.visualize_bodies else None,
+                interpret=jax.default_backend() == "cpu",
+            )
+
+        return make
+
     def _retrace(self):
         """Re-trace every compiled program that closes over the objective /
         prior / weights (the fused kernel's cost_fn closure included)."""

@@ -339,7 +339,18 @@ def anymal() -> str:
     u.link("base", mass=25.0, com=(0, 0, 0), inertia=(0.9, 1.9, 2.1),
            geoms=[("box", (0.75, 0.34, 0.2), (0, 0, 0), (0, 0, 0))])
     hip_x, hip_y = 0.36, 0.17
-    thigh_l, shank_l = 0.30, 0.33
+    # X-stance REST POSE baked into the joint frames (like the anymal_c URDF
+    # zero pose): at q=0 the legs stand bent with base at the objective's
+    # 0.65 target and knees at 0.28 — BELOW the objective's 0.35 knee target
+    # (`examples/anymal/planner.py:31,42`). That gap is the gait engine: the
+    # knee term exerts constant "lift your knees" pressure that standing can
+    # never satisfy, while the body term punishes crouching — the tradeoff
+    # pumps the legs and stepping emerges, exactly the reference's shaping
+    # ("high knee costs"). A straight-legged zero is kinematically singular
+    # and MPPI freezes in it because every bend first drops the body.
+    bend = 0.4
+    thigh_l = 0.37 / float(np.cos(bend))            # rest knee at 0.65-0.37=0.28
+    shank_l = (0.28 - 0.035) / float(np.cos(bend))  # foot ball on the ground
     for leg, sx, sy in (("LF", 1, 1), ("RF", 1, -1), ("LH", -1, 1), ("RH", -1, -1)):
         u.link(f"{leg}_HIP", mass=2.0, inertia=(0.01, 0.01, 0.01))
         u.joint(f"{leg}_HAA", "revolute", "base", f"{leg}_HIP",
@@ -349,7 +360,7 @@ def anymal() -> str:
                inertia=(0.02, 0.02, 0.005),
                geoms=[("capsule", (0.05, thigh_l / 2 - 0.05), (0, 0, -thigh_l / 2), (0, 0, 0))])
         u.joint(f"{leg}_HFE", "revolute", f"{leg}_HIP", f"{leg}_THIGH",
-                xyz=(0, sy * 0.09, 0), axis=(0, 1, 0),
+                xyz=(0, sy * 0.09, 0), axis=(0, 1, 0), rpy=(0, sx * bend, 0),
                 lower=-3.0, upper=3.0, effort=80, velocity=10, damping=1.0)
         # shank link named {leg}_KFE so its origin IS the knee position
         # (the reference objective reads knee links by that name,
@@ -358,7 +369,7 @@ def anymal() -> str:
                inertia=(0.01, 0.01, 0.002),
                geoms=[("capsule", (0.03, shank_l / 2 - 0.04), (0, 0, -shank_l / 2), (0, 0, 0))])
         u.joint(f"{leg}_KFE_joint", "revolute", f"{leg}_THIGH", f"{leg}_KFE",
-                xyz=(0, 0, -thigh_l), axis=(0, 1, 0),
+                xyz=(0, 0, -thigh_l), axis=(0, 1, 0), rpy=(0, -2 * sx * bend, 0),
                 lower=-3.0, upper=3.0, effort=80, velocity=10, damping=1.0)
         u.link(f"{leg}_FOOT", mass=0.1,
                geoms=[("sphere", (0.035,), (0, 0, 0), (0, 0, 0))])

@@ -64,7 +64,9 @@ def test_diff_drive_ik_straight_and_turn():
     yaw = float(quat_to_yaw(sim2.get_actor_orientation_by_name("boxer")[0]))
     pos2 = np.asarray(sim2.get_actor_position_by_name("boxer"))[0]
     assert abs(yaw) > 0.5, yaw         # rotated
-    assert np.linalg.norm(pos2[:2]) < 0.3, pos2  # stayed near origin
+    # near origin (wheel stiction impulses make in-place turns grip harder
+    # than the smoothed penalty did — a skid-steer turn walks a few cm more)
+    assert np.linalg.norm(pos2[:2]) < 0.4, pos2
 
 
 def test_domain_randomization_per_env():
