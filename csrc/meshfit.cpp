@@ -239,7 +239,9 @@ int meshfit_file(const char* path, double sx, double sy, double sz,
   double kind;
   double p0, p1, p2;
   double cross = fmax(he[1], he[2]);
-  if (he[0] >= 2.0 * cross) {
+  // capsule only when elongated AND the cross-section is circular: for a
+  // capsule rmax ≈ cross, while a flat box has rmax = √(he1²+he2²) > cross
+  if (he[0] >= 2.0 * cross && rmax <= 1.1 * cross) {
     kind = 2.0;  // capsule
     p0 = rmax;
     p1 = fmax(he[0] - rmax, 1e-4);

@@ -146,7 +146,58 @@ def _parse_geometry(geo: ET.Element, pos: np.ndarray, quat: np.ndarray) -> Optio
     return None
 
 
-def parse_urdf(source: str, mesh_fit=None) -> RobotSpec:
+def _geom_mass_inertia(g: UrdfGeom, density: float):
+    """(mass, COM-frame inertia tensor, COM in link frame) of one collision
+    primitive at uniform density — the Isaac Gym importer's behavior for links
+    without an ``<inertial>`` element (reference franka_panda.urdf ships none;
+    loader `mppiisaac/utils/isaacgym_utils.py:14-58` relies on it)."""
+    if g.gtype == GEOM_SPHERE:
+        r = float(g.size[0])
+        m = density * (4.0 / 3.0) * np.pi * r**3
+        i = 0.4 * m * r * r
+        I = np.diag([i, i, i])
+    elif g.gtype == GEOM_BOX:
+        hx, hy, hz = [float(v) for v in g.size]
+        m = density * 8.0 * hx * hy * hz
+        I = np.diag([
+            m / 3.0 * (hy * hy + hz * hz),
+            m / 3.0 * (hx * hx + hz * hz),
+            m / 3.0 * (hx * hx + hy * hy),
+        ])
+    else:  # capsule: cylinder (length 2·hl) + two hemispherical caps, axis z
+        r, hl = float(g.size[0]), float(g.size[1])
+        mc = density * np.pi * r * r * (2.0 * hl)
+        mh = density * (2.0 / 3.0) * np.pi * r**3          # one hemisphere
+        m = mc + 2.0 * mh
+        izz = mc * r * r / 2.0 + 2.0 * mh * (2.0 / 5.0) * r * r
+        # hemisphere about its own COM (83/320 m r²), COM at hl + 3r/8
+        d = hl + 3.0 * r / 8.0
+        ixx = (
+            mc * (r * r / 4.0 + hl * hl / 3.0)
+            + 2.0 * (mh * (83.0 / 320.0) * r * r + mh * d * d)
+        )
+        I = np.diag([ixx, ixx, izz])
+    R = _quat_to_mat(g.quat)
+    return m, R @ I @ R.T, np.asarray(g.pos, dtype=np.float64)
+
+
+def derive_inertial_from_geoms(link: UrdfLink, density: float = 1000.0) -> None:
+    """Fill link mass/COM/inertia from its collision primitives (in place)."""
+    if not link.geoms:
+        return
+    parts = [_geom_mass_inertia(g, density) for g in link.geoms]
+    m_tot = sum(p[0] for p in parts)
+    if m_tot <= 0:
+        return
+    com = sum(p[0] * p[2] for p in parts) / m_tot
+    I = np.zeros((3, 3))
+    for m, Ic, c in parts:
+        d = c - com
+        I += Ic + m * (np.dot(d, d) * np.eye(3) - np.outer(d, d))
+    link.mass, link.com, link.inertia = float(m_tot), com, I
+
+
+def parse_urdf(source: str, mesh_fit=None, default_density: float = 1000.0) -> RobotSpec:
     """Parse a URDF file path or XML string into a RobotSpec.
 
     mesh_fit: optional callable (filename, scale) -> UrdfGeom-params fitting a
@@ -200,6 +251,8 @@ def parse_urdf(source: str, mesh_fit=None) -> RobotSpec:
                     )
             if g is not None:
                 link.geoms.append(g)
+        if inertial is None and link.geoms:
+            derive_inertial_from_geoms(link, default_density)
         links[link.name] = link
 
     joints: List[UrdfJoint] = []

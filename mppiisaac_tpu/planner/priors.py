@@ -88,6 +88,9 @@ class ArmJacobianPrior:
         gain: float = 2.0,
         max_joint_vel: float = 1.0,
         nu: Optional[int] = None,
+        obstacle_actors: Sequence[str] = (),
+        k_repel: float = 0.3,
+        influence: float = 0.5,
     ):
         self.built = built
         self.robot = robot
@@ -95,6 +98,12 @@ class ArmJacobianPrior:
         self.goal_actor = goal_actor
         self.gain = gain
         self.max_joint_vel = max_joint_vel
+        # obstacle avoidance (reference fabrics_panda pads obstacles to
+        # max_num_obstacles and repels the EE — `fabrics_panda.py:55-64`;
+        # here the actor list is static at trace time, no padding needed)
+        self.obstacles = list(obstacle_actors)
+        self.k_repel = k_repel
+        self.influence = influence
         scene = built.scene
         ai = scene.actor_index(robot)
         art = scene.actors[ai]
@@ -129,6 +138,12 @@ class ArmJacobianPrior:
         ee, J = self._jacobian(view)
         goal = view.actor_position(self.goal_actor)
         v_des = self.gain * (goal - ee)                   # task-space velocity
+        for ob in self.obstacles:
+            opos = view.actor_position(ob)
+            d = ee - opos
+            dist = jnp.linalg.norm(d, axis=-1, keepdims=True)
+            rep = self.k_repel * d / jnp.maximum(dist, 1e-3) ** 2
+            v_des = v_des + jnp.where(dist < self.influence, rep, 0.0)
         # damped least squares: qdot = Jᵀ (J Jᵀ + λ²I)⁻¹ v — tracks through
         # near-singular configurations where plain Jᵀ stalls
         lam2 = 0.01

@@ -25,10 +25,11 @@ def mesh_fit(path: str, scale, origin_pos, origin_quat) -> Optional[UrdfGeom]:
     from ..physics.math3d import quat_mul, quat_rotate
     import jax.numpy as jnp
 
+    oq = jnp.asarray(origin_quat, jnp.float32)
     p = np.asarray(origin_pos) + np.asarray(
-        quat_rotate(jnp.asarray(origin_quat, jnp.float64), jnp.asarray(fit["pos"]))
+        quat_rotate(oq, jnp.asarray(fit["pos"], jnp.float32))
     )
-    q = np.asarray(quat_mul(jnp.asarray(origin_quat, jnp.float64), jnp.asarray(fit["quat"])))
+    q = np.asarray(quat_mul(oq, jnp.asarray(fit["quat"], jnp.float32)))
     if fit["kind"] == 2:
         return UrdfGeom(GEOM_CAPSULE, np.array([fit["params"][0], fit["params"][1], 0.0]), p, q)
     return UrdfGeom(GEOM_BOX, np.asarray(fit["params"]), p, q)

@@ -9,6 +9,7 @@ inside the jitted rollout.
 """
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Tuple
 
@@ -85,11 +86,35 @@ class BuiltScene:
         return engine.refresh(st)
 
 
+def resolve_urdf_path(name: str) -> Optional[str]:
+    """Resolve a urdf_file value to an on-disk file: absolute/relative paths
+    and names under the repo `assets/urdf/` library (reference analog:
+    `mppiisaac/utils/isaacgym_utils.py:14-58` loads from `assets/urdf`).
+    Returns None for registry names served procedurally."""
+    if not name.endswith(".urdf"):
+        return None
+    cands = [name]
+    here = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    cands.append(os.path.join(here, "assets", "urdf", name))
+    for c in cands:
+        if os.path.exists(c):
+            return c
+    return None
+
+
 def _actor_to_articulation(spec: ActorSpec, rng: Optional[np.random.RandomState]) -> Articulation:
     if spec.type == "robot":
-        urdf_src = robot_urdf(spec.urdf_file or spec.name)
+        name = spec.urdf_file or spec.name
+        path = resolve_urdf_path(name)
+        if path is not None:
+            # on-disk user URDF: full ingestion incl. mesh→primitive fitting
+            from .assets import mesh_fit
+
+            rspec = parse_urdf(path, mesh_fit=mesh_fit)
+        else:
+            rspec = parse_urdf(robot_urdf(name))
         art = build_articulation(
-            parse_urdf(urdf_src),
+            rspec,
             fixed_base=spec.fixed,
             dof_mode=spec.dof_mode,
             friction=spec.friction,
