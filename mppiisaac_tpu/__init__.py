@@ -5,3 +5,30 @@ Capability parity target: tud-airlab/mppi-isaac (see SURVEY.md / DESIGN.md).
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+
+def _enable_persistent_compile_cache():
+    """Reuse XLA compiles across processes (fused Pallas kernels take minutes
+    to compile cold; the reference pays an analogous PhysX warmup once per
+    process). Override the location with MPPIISAAC_TPU_CACHE; disable with
+    MPPIISAAC_TPU_CACHE=0."""
+    loc = _os.environ.get("MPPIISAAC_TPU_CACHE")
+    if loc == "0":
+        return
+    if not loc:
+        loc = _os.path.join(
+            _os.path.expanduser("~"), ".cache", "mppiisaac_tpu", "jax"
+        )
+    try:
+        import jax
+
+        _os.makedirs(loc, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", loc)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
+_enable_persistent_compile_cache()

@@ -164,8 +164,8 @@ class FusedRollout:
                 if isinstance(acc, float):
                     acc = jnp.zeros_like(u_tiles[0])
                 tgt.append(acc)
-            for dof, src, lo, hi in binarize:
-                tgt[dof] = jnp.where(u_tiles[src] > 0.0, hi, lo)
+            for dof, src, lo, hi, th in binarize:
+                tgt[dof] = jnp.where(u_tiles[src] > th, hi, lo)
             st["dof_target"] = tgt
 
             def sub_body(_, arr_s):

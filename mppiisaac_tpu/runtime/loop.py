@@ -80,8 +80,13 @@ def run_task(
         action = planner.compute_action_from_state(world.state)
         action = jax.block_until_ready(action)
         t1 = time.perf_counter()
-        world.apply_robot_cmd(np.asarray(action))
+        # device arrays flow straight into the world step — the only host
+        # fetch below is ONE batched device_get (each small transfer is a
+        # full host<->device round-trip; N separate np.asarray calls would
+        # serialize N of them into the loop)
+        world.apply_robot_cmd(action)
         world.step()
+        action_h, rp = jax.device_get((action, world.state.root_pos[0, 0]))
         t2 = time.perf_counter()
 
         metrics.solver_time.append(t1 - t0)
@@ -91,10 +96,10 @@ def run_task(
         metrics.steps = step + 1
 
         # path length of the first robot's root/ee
-        rp = np.asarray(world.state.root_pos[0, 0])
         if prev_pos is not None:
             metrics.path_length += float(np.linalg.norm(rp - prev_pos))
         prev_pos = rp
+        action = action_h
 
         if observer is not None:
             observer(step, world, action)

@@ -44,6 +44,13 @@ class ActorSpec:
     noise_percentage_friction: float = 0.0
     # --- TPU-native extensions ---
     gripper_binarize: bool = False              # panda_gripper behavior
+    # open only on a decisively positive command (u > threshold); at 0 the
+    # binarize is symmetric. The reference's gripper effectively CANNOT open
+    # under planner control (its `apply_robot_cmd` override chain at
+    # `isaacgym_wrapper.py:561-565` leaves finger 1 always closing), which is
+    # what makes its picks drop-free; a threshold keeps deliberate opening
+    # possible while removing MPPI's open/close dither mid-transport.
+    gripper_open_threshold: float = 0.0
     armature: float = 0.0
 
     @staticmethod

@@ -50,17 +50,18 @@ class CommandMap:
     """dof_target = W @ u, then binarized gripper overrides."""
     nu: int
     W: np.ndarray                                 # (ndof, nu)
-    # (dof, u_src, close_target, open_target): finger dofs are POSITION-driven
-    # (model.py build_articulation) and binarize to fully-closed / fully-open
-    # position targets from the sign of the source command (reference
-    # `apply_robot_cmd`, `isaacgym_wrapper.py:561-565`)
-    binarize_dofs: List[Tuple[int, int, float, float]] = field(default_factory=list)
+    # (dof, u_src, close_target, open_target, open_threshold): finger dofs are
+    # POSITION-driven (model.py build_articulation) and binarize to
+    # fully-closed / fully-open position targets from the source command
+    # (reference `apply_robot_cmd`, `isaacgym_wrapper.py:561-565`; threshold
+    # semantics documented at ActorSpec.gripper_open_threshold)
+    binarize_dofs: List[Tuple[int, int, float, float, float]] = field(default_factory=list)
 
     def apply(self, u: jnp.ndarray) -> jnp.ndarray:
         """u (..., nu) → dof targets (..., ndof)."""
         tgt = jnp.einsum("dn,...n->...d", jnp.asarray(self.W, u.dtype), u)
-        for dof, src, lo, hi in self.binarize_dofs:
-            val = jnp.where(u[..., src] > 0.0, hi, lo)
+        for dof, src, lo, hi, th in self.binarize_dofs:
+            val = jnp.where(u[..., src] > th, hi, lo)
             tgt = tgt.at[..., dof].set(val)
         return tgt
 
@@ -194,6 +195,7 @@ def _build_cmd_map(specs: List[ActorSpec], actors: List[Articulation], dof_offse
                     binarize.append((
                         off + j, src,
                         float(art.dof_lower[j]), float(art.dof_upper[j]),
+                        float(spec.gripper_open_threshold),
                     ))
     W = np.stack(cols, axis=1) if cols else np.zeros((ndof, 0))
     return CommandMap(nu=u_idx, W=W, binarize_dofs=binarize)
