@@ -201,7 +201,7 @@ def _segment_closest_lanes(p0, p1, q0, q1, eps=1e-9):
 
 
 _BOX_CORNER_SIGNS = [(sx, sy, sz) for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)]
-from ...physics.contact import _BOX_SAMPLES, N_BOX_SAMPLES  # noqa: E402
+from ...physics.contact import _BOX_SAMPLES, N_BOX_SAMPLES, N_BBC_SAMPLES  # noqa: E402
 
 
 
@@ -265,7 +265,7 @@ def candidate_geometry(scene, ga, gb, kind, extra, pos, quat):
             sp, _ = _segment_closest_lanes(p0, p1, gp_b, gp_b)
         n_w, depth_c, surf = _point_to_box_lanes(sp, gp_b, gq_b, half)
         return surf, n_w, depth_c + r
-    if kind == "bbA":
+    if kind in ("bbA", "bbc"):
         (ci,) = extra
         pt = _box_sample_point(scene, ga, ci, pos, quat)
         gp_b, gq_b = _geom_pose(scene, gb, pos, quat)
@@ -335,6 +335,9 @@ def contacts_lanes(scene, tables, pos, quat, linv, angv, fric_scale, dt_sub):
     for ci in range(N_BOX_SAMPLES):
         for ga, gb in zip(tables.bb_a.tolist(), tables.bb_b.tolist()):
             cands.append((None, ga, gb, "bbB", (ci,)))
+    for ci in range(N_BBC_SAMPLES):
+        for ga, gb in zip(tables.bbc_a.tolist(), tables.bbc_b.tolist()):
+            cands.append((None, ga, gb, "bbc", (ci,)))
     assert len(cands) == tables.n_con, (len(cands), tables.n_con)
 
     plk_n = [(0.0, 0.0, 0.0)] * B
@@ -379,7 +382,7 @@ def contacts_lanes(scene, tables, pos, quat, linv, angv, fric_scale, dt_sub):
                 sp, _ = _segment_closest_lanes(p0, p1, bc, bc)
             n_w, depth_c, surf = _point_to_box_lanes(sp, gpos[gb], gquat[gb], half)
             normal, depth, point = n_w, depth_c + r, surf
-        elif kind == "bbA":
+        elif kind in ("bbA", "bbc"):
             (ci,) = extra
             half = _t3(scene.geom_size[gb])
             n_w, depth_c, surf = _point_to_box_lanes(corners[ga][ci], gpos[gb], gquat[gb], half)

@@ -42,8 +42,16 @@ class ContactTables:
     cc_b: np.ndarray
     cb_cap: np.ndarray           # capsuloid vs box (3 contacts)
     cb_box: np.ndarray
-    bb_a: np.ndarray             # box vs box (16 corner contacts)
+    bb_a: np.ndarray             # box vs box, FULL 2×26-sample manifold (rare)
     bb_b: np.ndarray
+    # box vs box, reduced DIRECTIONAL manifold: corners of bbc_a sampled
+    # against box bbc_b (8 candidates). Directions where the sampled box is
+    # far larger than the host (table corners vs a block) are dropped at
+    # table-build time — they cannot produce meaningful contact and were the
+    # bulk of the fused kernel's sweep workload (a full pair costs 52
+    # candidates; a typical reduced pair costs 8-16)
+    bbc_a: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int32))
+    bbc_b: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int32))
     # flat candidate tables, in the exact order the runtime concatenates
     n_con: int = 0
     con_geom_a: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int32))
@@ -98,6 +106,22 @@ def _pair_meff(scene: SceneModel, gi: int, gj: int) -> float:
     return ma * mb / (ma + mb)
 
 
+# A box samples its points against a partner box only when its volume is
+# within this factor of the partner's — beyond it (a table vs a block) the
+# bigger box's sample points cannot produce contact and the direction is
+# dropped
+BB_DROP_VOL_RATIO = 64.0
+
+# Reduced per-direction sample set: corners + face centers
+# (_BOX_SAMPLES[:14]). Corners alone miss face-face contacts whenever
+# neither box's corners enter the other's interior (a wide pusher against a
+# narrower block: the pusher's corners pass outside, the block's corners
+# slide along the pusher's boundary planes at zero depth) — the face-center
+# samples carry exactly that configuration. Edge midpoints (the remaining
+# 12 of the full 26) only matter for edge-edge crossings and are dropped.
+N_BBC_SAMPLES = 14
+
+
 def build_contact_tables(scene: SceneModel) -> ContactTables:
     gt = scene.geom_type
     cp_g, bp_g = [], []
@@ -111,11 +135,28 @@ def build_contact_tables(scene: SceneModel) -> ContactTables:
             continue
         (bp_g if gt[gi] == GEOM_BOX else cp_g).append(gi)
 
+    bbc_a_l: List[int] = []
+    bbc_b_l: List[int] = []
+
+    def _box_vol(g):
+        s = scene.geom_size[g]
+        return max(float(s[0] * s[1] * s[2]), 1e-12)
+
     for gi, gj in zip(scene.pair_a, scene.pair_b):
         gi, gj = int(gi), int(gj)
         a_box, b_box = gt[gi] == GEOM_BOX, gt[gj] == GEOM_BOX
         if a_box and b_box:
-            bb_a.append(gi); bb_b.append(gj)
+            # reduced directional manifold: corners of X against box Y, with
+            # the direction dropped when X is far bigger than Y (X's corners
+            # cannot reach into Y in any pose the solver should care about).
+            # Corner-only sampling keeps ≥4-point support patches for
+            # face-face contact (stacking, finger-pad squeezes) at 8
+            # candidates/direction vs the full manifold's 26
+            va, vb = _box_vol(gi), _box_vol(gj)
+            if va <= BB_DROP_VOL_RATIO * vb:
+                bbc_a_l.append(gi); bbc_b_l.append(gj)
+            if vb <= BB_DROP_VOL_RATIO * va:
+                bbc_a_l.append(gj); bbc_b_l.append(gi)
         elif a_box:
             cb_c.append(gj); cb_bx.append(gi)
         elif b_box:
@@ -126,7 +167,8 @@ def build_contact_tables(scene: SceneModel) -> ContactTables:
     # flat candidate enumeration — ORDER MUST MATCH the runtime concatenation:
     # cp (2 endpoints, endpoint-major), bp (8 corners, corner-major),
     # cc (1), cb (3 sample points, point-major), bb (2×26 box samples,
-    # sample-major, A-in-B then B-in-A)
+    # sample-major, A-in-B then B-in-A), bbc (8 corners of a in b,
+    # corner-major)
     ga_l: List[int] = []
     gb_l: List[int] = []
     npts_l: List[float] = []
@@ -147,6 +189,9 @@ def build_contact_tables(scene: SceneModel) -> ContactTables:
             emit(a, b, 2.0)
     for _ in range(2 * N_BOX_SAMPLES):
         for a, b in zip(bb_a, bb_b):
+            emit(a, b, 4.0)
+    for _ in range(N_BBC_SAMPLES):
+        for a, b in zip(bbc_a_l, bbc_b_l):
             emit(a, b, 4.0)
 
     n = len(ga_l)
@@ -230,6 +275,7 @@ def build_contact_tables(scene: SceneModel) -> ContactTables:
         cc_a=arr(cc_a), cc_b=arr(cc_b),
         cb_cap=arr(cb_c), cb_box=arr(cb_bx),
         bb_a=arr(bb_a), bb_b=arr(bb_b),
+        bbc_a=arr(bbc_a_l), bbc_b=arr(bbc_b_l),
         n_con=n,
         con_geom_a=ga_arr, con_geom_b=gb_arr,
         kn_base=meff / npts, kn_base_soft=meff_soft / npts, mu_base=mu,
@@ -422,6 +468,16 @@ def compute_contact_forces(
         for ci in range(N_BOX_SAMPLES):
             n_w, depth_c, surf = _point_to_box(cb[..., ci, :], gp[ga], gq[ga], jnp.asarray(sizes[ga], dt_))
             pts.append(surf); nrms.append(-n_w); dpths.append(depth_c)
+
+    # ---- box vs box, reduced directional manifold (sample-major): corners
+    # + face centers of bbc_a sampled against bbc_b; same sign convention as
+    # the A-in-B block above (normal out of the host box, +force on geom a) ----
+    if len(tables.bbc_a):
+        ga, gb = tables.bbc_a, tables.bbc_b
+        ca = _box_samples(gp[ga], gq[ga], jnp.asarray(sizes[ga], dt_))    # (n,26,3)
+        for ci in range(N_BBC_SAMPLES):
+            n_w, depth_c, surf = _point_to_box(ca[..., ci, :], gp[gb], gq[gb], jnp.asarray(sizes[gb], dt_))
+            pts.append(surf); nrms.append(n_w); dpths.append(depth_c)
 
     point = jnp.concatenate(pts)                   # (n_con, 3)
     normal = jnp.concatenate(nrms)

@@ -39,7 +39,7 @@ class Engine:
         has_contacts = (
             len(self.tables.cp_geom) or len(self.tables.bp_geom)
             or len(self.tables.cc_a) or len(self.tables.cb_cap)
-            or len(self.tables.bb_a)
+            or len(self.tables.bb_a) or len(self.tables.bbc_a)
         )
         n = scene.substeps
         while has_contacts and scene.dt / n > 0.0126:

@@ -22,9 +22,11 @@ def test_push_block_golden():
         sim.step()
     q = np.asarray(sim.state.q[0])
     block = np.asarray(sim.get_actor_position_by_name("block"))[0]
-    # goldens recorded 2026-08-16 (contact engine v2): robot drives forward,
-    # pushes the block ~1 m; block stays upright on the ground plane
-    assert 1.3 < q[0] < 2.2, q
+    # goldens re-recorded 2026-08-17 (reduced directional box-box manifold —
+    # corner-only sampling shifts the push-contact normalization slightly):
+    # robot drives forward, pushes the block 1-2 m; block stays upright on
+    # the ground plane
+    assert 1.5 < q[0] < 2.7, q
     assert block[0] > 1.3, block
     assert 0.10 < block[2] < 0.20, block          # resting, not sunk/launched
     assert abs(block[1]) < 0.15, block            # straight push
