@@ -455,11 +455,15 @@ def contacts_lanes(scene, tables, pos, quat, linv, angv, fric_scale, dt_sub):
             plk_f[bb] = L.sub3(plk_f[bb], force_b)
             net_cf[bb] = L.sub3(net_cf[bb], force_b)
         if a_is_free or b_is_free or a_is_sta or b_is_sta:
-            # STATIC descriptor only — geometry is recomputed inside the
-            # impulse sweeps (carrying ~9 live tiles × hundreds of candidates
-            # here overflows the kernel VMEM stack)
+            # geo = this substep's (point, normal, depth), computed ONCE here
+            # and reused by every consumer in dynamics_lanes (implicit couple
+            # terms, act-count, warm start, GS sweeps, stiction snap — round 1
+            # recomputed it up to 6× per substep). 7 live tiles × ~100
+            # candidates ≈ 3 MB VMEM through the sweep loop — affordable now
+            # that the reduced manifold shrank the candidate set ~2×
             free_cands.append(
                 dict(ga=ga, gb=gb, kind=kind, extra=extra, idx=idx,
+                     geo=(point, normal, depth),
                      ga_geom=int(tables.con_geom_a[idx]),
                      gb_geom=int(tables.con_geom_b[idx]),
                      kn_stiff=float(tables.kn_base[idx]),
@@ -727,9 +731,7 @@ def dynamics_lanes(scene, masks_list, state, pos, quat, linv, angv, axis_w,
             # with J_j = X·S_j over ancestor coords of the contact link,
             # X = (p×n, n), κ = dt·kn
             for c in cpl:
-                pt, n, depth_raw = candidate_geometry(
-                    scene, c["ga"], c["gb"], c["kind"], c["extra"], pos, quat
-                )
+                pt, n, depth_raw = c["geo"]
                 depth_c = jnp.minimum(depth_raw, float(scene.max_contact_depth))
                 act = (depth_c > 0.0).astype(jnp.float32)
                 lb = c["art_body"] - bo               # local link index
@@ -853,13 +855,55 @@ def dynamics_lanes(scene, masks_list, state, pos, quat, linv, angv, axis_w,
                     continue
                 b_g = c["ba"] if (c.get("a_art") or c.get("a_sta")) else c["bb"]
                 aid = body_actor_art[b_g]
-                _, _, d_raw = candidate_geometry(
-                    scene, c["ga"], c["gb"], c["kind"], c["extra"], pos, quat
-                )
+                d_raw = c["geo"][2]
                 act_c = (jnp.minimum(d_raw, dcap) > 0.0).astype(jnp.float32)
                 art_act_count[aid] = art_act_count.get(aid, 0.0) + act_c
             for aid in list(art_act_count):
                 art_act_count[aid] = jnp.maximum(art_act_count[aid], 1.0)
+
+        def _eff_inv_mass(c, d3):
+            """effective inverse mass along direction d3 (unit) — free sides'
+            linear+rotational terms plus the articulated side's joint-space
+            Ψ. MUST be evaluated per direction: reusing the normal's value
+            for the tangent under-counts the rotational coupling (e.g. 200
+            vs 605 for a pad-held sphere) and the resulting friction
+            overshoot diverges the GS spin channel. The NORMAL direction is
+            sweep-invariant (geometry, masses and Ψ are all fixed within a
+            substep), so k_n is computed once below and reused every sweep."""
+            pt = c["geo"][0]
+            is_sta_c = bool(c.get("a_sta") or c.get("b_sta"))
+            is_cpl = (
+                bool(c.get("a_art") or c.get("b_art")) or is_sta_c
+            ) and TWO_WAY_SWEEPS
+            art_is_a = bool(c.get("a_art") or c.get("a_sta"))
+            k = 1e-9
+            for b2, fr2 in ((c["ba"], c["a_free"]), (c["bb"], c["b_free"])):
+                if not fr2:
+                    continue
+                r2 = L.sub3(pt, state["root_pos"][body2actor[b2]])
+                rxd = L.cross3(r2, d3)
+                Iw_rxd = tuple(
+                    sum(invIw[b2][i][j] * rxd[j] for j in range(3))
+                    for i in range(3)
+                )
+                k = k + inv_m[b2] + L.dot3(rxd, Iw_rxd)
+            if is_cpl:
+                b2 = c["ba"] if art_is_a else c["bb"]
+                aid2 = body_actor_art[b2]
+                psi2 = art_ctx[aid2]["psi"][b2]
+                X6d = (*L.cross3(pt, d3), *d3)
+                pX = [sum(psi2[r][cc_] * X6d[cc_] for cc_ in range(6)) for r in range(6)]
+                # per-actor Jacobi splitting (see art_act_count)
+                k = k + art_act_count.get(aid2, 1.0) * sum(
+                    X6d[r] * pX[r] for r in range(6)
+                )
+            return k
+
+        k_n_cache = [
+            None if (c.get("a_sta") or c.get("b_sta"))
+            else _eff_inv_mass(c, c["geo"][1])
+            for c in free_cands
+        ]
 
         # ---- rolled sweep loop: the body compiles ONCE (lax.fori_loop) ----
         # An unrolled 8-sweep loop over hundreds of candidates exploded
@@ -947,11 +991,7 @@ def dynamics_lanes(scene, masks_list, state, pos, quat, linv, angv, axis_w,
                 return L.add3(linv[b], L.cross3(angv[b], L.sub3(point, pos[b])))
 
             for ci, c in enumerate(free_cands):
-                # recompute geometry from poses (descriptors are static; see
-                # contacts_lanes note on VMEM stack pressure)
-                pt, n, depth_raw = candidate_geometry(
-                    scene, c["ga"], c["gb"], c["kind"], c["extra"], pos, quat
-                )
+                pt, n, depth_raw = c["geo"]
                 depth = jnp.minimum(depth_raw, dcap)
                 active = depth > 0.0
                 target = jnp.minimum(beta * jnp.maximum(depth - slop, 0.0) / dt, 0.5)
@@ -965,43 +1005,12 @@ def dynamics_lanes(scene, masks_list, state, pos, quat, linv, angv, axis_w,
                 ) and TWO_WAY_SWEEPS
                 art_is_a = bool(c.get("a_art") or c.get("a_sta"))
 
-                def k_dir(d3):
-                    """effective inverse mass along direction d3 (unit) —
-                    free sides' linear+rotational terms plus the articulated
-                    side's joint-space Ψ. MUST be evaluated per direction:
-                    reusing the normal's value for the tangent under-counts
-                    the rotational coupling (e.g. 200 vs 605 for a pad-held
-                    sphere) and the resulting friction overshoot diverges the
-                    GS spin channel."""
-                    k = 1e-9
-                    for b2, fr2 in ((c["ba"], c["a_free"]), (c["bb"], c["b_free"])):
-                        if not fr2:
-                            continue
-                        r2 = L.sub3(pt, state["root_pos"][body2actor[b2]])
-                        rxd = L.cross3(r2, d3)
-                        Iw_rxd = tuple(
-                            sum(invIw[b2][i][j] * rxd[j] for j in range(3))
-                            for i in range(3)
-                        )
-                        k = k + inv_m[b2] + L.dot3(rxd, Iw_rxd)
-                    if is_cpl:
-                        b2 = c["ba"] if art_is_a else c["bb"]
-                        aid2 = body_actor_art[b2]
-                        psi2 = art_ctx[aid2]["psi"][b2]
-                        X6d = (*L.cross3(pt, d3), *d3)
-                        pX = [sum(psi2[r][cc_] * X6d[cc_] for cc_ in range(6)) for r in range(6)]
-                        # per-actor Jacobi splitting (see art_act_count)
-                        k = k + art_act_count.get(aid2, 1.0) * sum(
-                            X6d[r] * pX[r] for r in range(6)
-                        )
-                    return k
-
                 if is_sta_c:
                     # art↔static: FRICTION-ONLY (normal carried by the stiff
                     # penalty — an impulse on top would double the support)
                     imp = (0.0, 0.0, 0.0)
                 else:
-                    k_n = k_dir(n)
+                    k_n = k_n_cache[ci]
                     d_lam = jnp.where(active, -(vn - target) / k_n, 0.0)
                     new_lam = jnp.maximum(lam_n[ci] + d_lam, 0.0)
                     d_imp = new_lam - lam_n[ci]
@@ -1011,7 +1020,7 @@ def dynamics_lanes(scene, masks_list, state, pos, quat, linv, angv, axis_w,
                 vt = L.sub3(v_rel, L.scale3(n, vn))
                 vt_n = L.norm3(vt, eps=1e-9)
                 t_dir = L.scale3(vt, 1.0 / vt_n)
-                k_t = k_dir(t_dir)
+                k_t = _eff_inv_mass(c, t_dir)
                 jt_try = tuple(jnp.where(active, -vt[i] / k_t, 0.0) for i in range(3))
                 jt_norm = L.norm3(jt_try, eps=0.0)
                 # friction cone: couple candidates are seeded with the
@@ -1120,9 +1129,7 @@ def dynamics_lanes(scene, masks_list, state, pos, quat, linv, angv, axis_w,
             # static table, so row ci is always the same pair.
             Yw_body = {b_g: [0.0] * 6 for b_g in body_actor_art}
             for ci, c in enumerate(free_cands):
-                pt, n, depth_raw = candidate_geometry(
-                    scene, c["ga"], c["gb"], c["kind"], c["extra"], pos, quat
-                )
+                pt, n, depth_raw = c["geo"]
                 act = (jnp.minimum(depth_raw, dcap) > 0.0).astype(jnp.float32)
                 lnw = lam_warm[ci][0] * act
                 ltw = tuple(lam_warm[ci][1 + i] * act for i in range(3))
@@ -1209,9 +1216,7 @@ def dynamics_lanes(scene, masks_list, state, pos, quat, linv, angv, axis_w,
             for ci, c in enumerate(free_cands):
                 if not (c.get("a_art") or c.get("b_art")):
                     continue
-                pt, n, depth_raw = candidate_geometry(
-                    scene, c["ga"], c["gb"], c["kind"], c["extra"], pos, quat
-                )
+                pt, n, depth_raw = c["geo"]
                 depth = jnp.minimum(depth_raw, dcap)
                 act = (depth > 0.0).astype(jnp.float32)
                 b_art_g = c["ba"] if c["a_art"] else c["bb"]

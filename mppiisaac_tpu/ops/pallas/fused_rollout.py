@@ -83,12 +83,21 @@ class FusedRollout:
         interpret: bool = False,
         impulse_sweeps: int = 2,
         controls_dtype=jnp.bfloat16,
+        world_fidelity: bool = True,
     ):
         # controls ride in VMEM for the whole rollout — (H,nu,8G,128) f32 can
         # push the kernel past the 16 MB VMEM budget; bf16 perturbations lose
         # <0.5% of noise resolution and halve that buffer
         self.controls_dtype = controls_dtype
         self.impulse_sweeps = impulse_sweeps
+        # world_fidelity=True: rollouts run the world step's exact contact
+        # treatment (vector friction cone + persistent-λ warm start carried
+        # across the whole H×substeps trajectory, seeded from the world's
+        # converged contact state + stiction snap) — the planner model's
+        # grasp-hold prediction matches the world engine. False: scalar
+        # accumulated-cone friction, no λ carry (4·n_fc fewer VMEM rows,
+        # ~2× faster sweeps) — sufficient for push/locomotion tasks.
+        self.world_fidelity = world_fidelity
         self.built = built
         self.engine = engine
         self.scene = built.scene
@@ -113,7 +122,7 @@ class FusedRollout:
         from .fused_physics import free_cand_indices
 
         self.fc_idx = free_cand_indices(s, engine.tables)
-        self.n_fc = len(self.fc_idx)
+        self.n_fc = len(self.fc_idx) if world_fidelity else 0
         self.NSR = self.NS + 4 * self.n_fc
         self._run = jax.jit(self._build_call())
 
@@ -180,7 +189,7 @@ class FusedRollout:
                 s2 = substep_lanes(
                     scene, tables, self.masks_list, s2, fric_tiles, mass_tiles, dt_sub,
                     impulse_sweeps=self.impulse_sweeps,
-                    world_fidelity=True,
+                    world_fidelity=self.world_fidelity,
                 )
                 rows = self._pack(s2)
                 if n_fc:

@@ -78,6 +78,12 @@ class Articulation:
     link_names: List[str] = field(default_factory=list)
     dof_names: List[str] = field(default_factory=list)
     disable_gravity: bool = False
+    # intra-actor (self) collision. Default OFF, matching the reference:
+    # Isaac Gym's create_actor is called without a collision filter
+    # (`isaacgym_wrapper.py:437-442`), which masks off all within-actor
+    # collision — objective weights were tuned against that behavior, and
+    # the self-collision pairs were ~40% of the contact-candidate table
+    self_collision: bool = False
 
     def link_index(self, name: str) -> int:
         return self.link_names.index(name)

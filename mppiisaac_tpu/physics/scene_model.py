@@ -117,6 +117,11 @@ class SceneModel:
                     continue
                 if ai == aj:
                     art = self.actors[ai]
+                    # intra-actor collision is OPT-IN (default off, matching
+                    # the reference's filter-less create_actor — see
+                    # model.Articulation.self_collision)
+                    if not getattr(art, "self_collision", False):
+                        continue
                     # skip parent-child adjacency (connected by a joint)
                     if (
                         art.parent[bj_local] == bi_local

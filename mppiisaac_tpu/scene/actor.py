@@ -44,6 +44,9 @@ class ActorSpec:
     noise_percentage_friction: float = 0.0
     # --- TPU-native extensions ---
     gripper_binarize: bool = False              # panda_gripper behavior
+    # opt-in intra-actor collision (the reference's create_actor masks
+    # self-collision off — see physics/model.Articulation.self_collision)
+    self_collision: bool = False
     # open only on a decisively positive command (u > threshold); at 0 the
     # binarize is symmetric. The reference's gripper effectively CANNOT open
     # under planner control (its `apply_robot_cmd` override chain at

@@ -123,6 +123,7 @@ def _actor_to_articulation(spec: ActorSpec, rng: Optional[np.random.RandomState]
             armature=spec.armature,
         )
         art.name = spec.name
+        art.self_collision = spec.self_collision
         if spec.caster_links:
             for g in art.geoms:
                 if art.link_names[g.body] in spec.caster_links:
