@@ -39,6 +39,15 @@ class MPPIConfig:
     # TPU-native extensions (absent in the reference)
     knot_scale: int = 4                       # halton-spline: H / knot_scale knots
     spline_degree: int = 2
+    # planner-model fidelity knobs for the fused rollout kernel (the world sim
+    # always runs full fidelity; the reference has no such split because its
+    # rollouts ARE the same PhysX sim). "world": rollouts reproduce the world
+    # step's exact contact treatment (vector friction cone + persistent-λ warm
+    # start — required for grasp-hold prediction, panda_pick/omni_panda_pick).
+    # "fast": scalar accumulated-cone friction, no λ carry (~20% faster).
+    rollout_fidelity: str = "world"           # world | fast
+    rollout_substeps: Optional[int] = None    # None = match the world sim
+    rollout_sweeps: int = 2                   # GS impulse sweeps per substep
 
     def resolved(self, nu: int) -> "MPPIConfig":
         """Normalize list/scalar fields to numpy arrays of the right shape."""

@@ -84,6 +84,7 @@ class FusedRollout:
         impulse_sweeps: int = 2,
         controls_dtype=jnp.bfloat16,
         world_fidelity: bool = True,
+        substeps: Optional[int] = None,
     ):
         # controls ride in VMEM for the whole rollout — (H,nu,8G,128) f32 can
         # push the kernel past the 16 MB VMEM budget; bf16 perturbations lose
@@ -98,6 +99,12 @@ class FusedRollout:
         # accumulated-cone friction, no λ carry (4·n_fc fewer VMEM rows,
         # ~2× faster sweeps) — sufficient for push/locomotion tasks.
         self.world_fidelity = world_fidelity
+        # planner-model substep override (MPPIConfig.rollout_substeps): the
+        # rollout may integrate coarser than the world sim — physics cost is
+        # linear in substeps and MPC models tolerate coarser integration than
+        # the plant. None = match the world engine exactly.
+        self.substeps = engine.substeps if substeps is None else int(substeps)
+        self.dt_sub = engine.scene.dt / self.substeps
         self.built = built
         self.engine = engine
         self.scene = built.scene
@@ -148,8 +155,8 @@ class FusedRollout:
     # ------------------------------------------------------------------
     def _kernel(self, state_ref, V_ref, mass_ref, fric_ref, cost_ref, vis_ref):
         scene, tables = self.scene, self.engine.tables
-        dt_sub = self.engine.dt_sub
-        substeps = self.engine.substeps
+        dt_sub = self.dt_sub
+        substeps = self.substeps
         cmdW = self.built.cmd_map.W                      # (D, nu) static
         binarize = self.built.cmd_map.binarize_dofs
 

@@ -132,6 +132,9 @@ class MPPIisaacPlanner:
                 K=K,
                 vis_body=built.visualize_bodies[0] if built.visualize_bodies else None,
                 interpret=jax.default_backend() == "cpu",
+                impulse_sweeps=cfg.mppi.rollout_sweeps,
+                world_fidelity=cfg.mppi.rollout_fidelity != "fast",
+                substeps=cfg.mppi.rollout_substeps,
             )
 
         self.mppi = MPPIPlanner(
@@ -181,6 +184,9 @@ class MPPIisaacPlanner:
                 H=cfg.mppi.horizon, K=K_shard,
                 vis_body=built.visualize_bodies[0] if built.visualize_bodies else None,
                 interpret=jax.default_backend() == "cpu",
+                impulse_sweeps=cfg.mppi.rollout_sweeps,
+                world_fidelity=cfg.mppi.rollout_fidelity != "fast",
+                substeps=cfg.mppi.rollout_substeps,
             )
 
         return make

@@ -54,8 +54,18 @@ def run_task(
     observer: Optional[Callable] = None,
     verbose: bool = False,
     randomize: bool = True,
+    device_steps: int = 1,
 ) -> LoopMetrics:
-    """success_fn(world: Simulation) -> bool; observer(step, world, action)."""
+    """success_fn(world: Simulation) -> bool; observer(step, world, action).
+
+    device_steps > 1 runs that many control steps (plan + world step) as ONE
+    jitted on-device scan between host round-trips. The host↔device dispatch
+    on this backend costs ~47 ms per call regardless of payload — more than
+    the 10 ms planner kernel itself — so per-step host dispatch caps the loop
+    at ~15 Hz while the chunked loop amortizes one round-trip over N steps.
+    Success detection stays exact: the scan stacks every intermediate world
+    state and the host replays them against success_fn once per chunk.
+    (Per-step host observers / real-time pacing force device_steps=1.)"""
     world = Simulation(
         cfg=cfg.isaacgym,
         actors=cfg.actors,
@@ -74,6 +84,12 @@ def run_task(
     n = n_steps if n_steps is not None else cfg.n_steps
     dt = cfg.isaacgym.dt
     prev_pos = None
+
+    if device_steps > 1 and observer is None and not real_time:
+        return _run_chunked(
+            cfg, world, planner, metrics, n, dt, device_steps,
+            success_fn=success_fn, verbose=verbose,
+        )
 
     for step in range(n):
         t0 = time.perf_counter()
@@ -120,3 +136,94 @@ def run_task(
         )
     )
     return metrics
+
+
+def _run_chunked(
+    cfg, world, planner, metrics, n, dt, device_steps,
+    success_fn=None, verbose=False,
+) -> LoopMetrics:
+    """N control steps per host round-trip: scan(plan → apply → world-step)
+    entirely on device, stacking each post-step world SimState; the host
+    fetches the small stacked states once per chunk for success/metrics."""
+    cmd_map = world.built.cmd_map
+    world_step = world._step_fn          # jitted; inlined when traced below
+    full_command = planner._full_command
+    u_pc = cfg.mppi.u_per_command
+
+    def body(carry, _):
+        mppi_carry, wstate = carry
+        action, mppi_carry, _info = full_command(mppi_carry, wstate)
+        u = action if u_pc == 1 else action[:1]     # (1, nu) = (num_envs, nu)
+        wstate = wstate._replace(dof_target=cmd_map.apply(u))
+        wstate = world_step(wstate, world.params)
+        return (mppi_carry, wstate), (action[0], wstate)
+
+    @jax.jit
+    def chunk(mppi_carry, wstate):
+        (mppi_carry, wstate), (actions, states) = jax.lax.scan(
+            body, (mppi_carry, wstate), None, length=device_steps
+        )
+        return mppi_carry, wstate, actions, states
+
+    step = 0
+    prev_pos = None
+    while step < n:
+        t0 = time.perf_counter()
+        planner.objective.reset()
+        carry, wstate, actions, states_d = chunk(planner.mppi.carry, world.state)
+        planner.mppi.carry = carry
+        world.state = wstate
+        states, actions_h = jax.device_get((states_d, actions))
+        t1 = time.perf_counter()
+
+        per = (t1 - t0) / device_steps
+        for i in range(device_steps):
+            if step >= n:
+                break
+            metrics.solver_time.append(per)
+            metrics.fps.append(1.0 / max(per, 1e-9))
+            metrics.rt_factor.append(dt / max(per, 1e-9))
+            metrics.steps = step + 1
+            rp = np.asarray(states.root_pos[i][0, 0])
+            if prev_pos is not None:
+                metrics.path_length += float(np.linalg.norm(rp - prev_pos))
+            prev_pos = rp
+            if success_fn is not None and metrics.success_step is None:
+                world_i = _StateProxy(world, jax.tree.map(lambda s: s[i], states))
+                if success_fn(world_i):
+                    metrics.success_step = step
+                    # rewind the live world to the success step
+                    world.state = world_i.state
+                    break
+            step += 1
+        if verbose:
+            print(
+                f"chunk @{metrics.steps}: {per*1e3:7.2f} ms/step  RT {dt/max(per,1e-9):6.2f}"
+            )
+        if metrics.success_step is not None:
+            break
+    metrics.final_state_finite = bool(
+        all(
+            np.isfinite(np.asarray(leaf)).all()
+            for leaf in jax.tree.leaves(world.state)
+        )
+    )
+    return metrics
+
+
+class _StateProxy:
+    """Simulation look-alike pinned to one stacked state (success replay)."""
+
+    def __init__(self, world, state):
+        self._world = world
+        self.state = state
+        self.built = world.built
+
+    @property
+    def view(self):
+        from ..planner.observables import SimView
+
+        return SimView(self.built, self.state)
+
+    def __getattr__(self, name):
+        return getattr(self._world, name)
