@@ -180,8 +180,20 @@ class FusedRollout:
                 if isinstance(acc, float):
                     acc = jnp.zeros_like(u_tiles[0])
                 tgt.append(acc)
-            for dof, src, lo, hi, th in binarize:
-                tgt[dof] = jnp.where(u_tiles[src] > th, hi, lo)
+            for dof, src, lo, hi, th, band in binarize:
+                uc = u_tiles[src]
+                if band > 0.0:
+                    # hysteresis hold branch from the CURRENT finger position
+                    # (see CommandMap.apply) — rollouts model the same latching
+                    # gripper the world runs
+                    cur_open = st["q"][dof] > lo + 0.75 * (hi - lo)
+                    tgt[dof] = jnp.where(
+                        uc > th + band, hi,
+                        jnp.where(uc < th - band, lo,
+                                  jnp.where(cur_open, hi, lo)),
+                    )
+                else:
+                    tgt[dof] = jnp.where(uc > th, hi, lo)
             st["dof_target"] = tgt
 
             def sub_body(_, arr_s):

@@ -90,7 +90,7 @@ class MPPIisaacPlanner:
         # (SimState, ModelParams) so per-env domain randomization rides along.
         def dynamics(state, u, t):
             st, pr = state
-            st = st._replace(dof_target=built.cmd_map.apply(u))
+            st = st._replace(dof_target=built.cmd_map.apply(u, st.q))
             return (engine.step(st, pr), pr)
 
         def running_cost(state, t):

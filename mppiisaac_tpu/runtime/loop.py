@@ -15,6 +15,7 @@ from dataclasses import dataclass, field
 from typing import Callable, List, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..planner.mppi_isaac import MPPIisaacPlanner
@@ -154,26 +155,56 @@ def _run_chunked(
         mppi_carry, wstate = carry
         action, mppi_carry, _info = full_command(mppi_carry, wstate)
         u = action if u_pc == 1 else action[:1]     # (1, nu) = (num_envs, nu)
-        wstate = wstate._replace(dof_target=cmd_map.apply(u))
+        wstate = wstate._replace(dof_target=cmd_map.apply(u, wstate.q))
         wstate = world_step(wstate, world.params)
         return (mppi_carry, wstate), (action[0], wstate)
+
+    # the host fetch must be ONE buffer: this backend charges a full
+    # round-trip per fetched array (~25-45 ms), and a stacked SimState pytree
+    # is ~15 leaves — packing device-side turns ~3 s/chunk of transfers into
+    # one ~45 ms fetch
+    tmpl_leaves, tree_def = jax.tree.flatten(world.state)
+    leaf_shapes = [tuple(l.shape) for l in tmpl_leaves]
+    leaf_sizes = [int(np.prod(s)) if s else 1 for s in leaf_shapes]
 
     @jax.jit
     def chunk(mppi_carry, wstate):
         (mppi_carry, wstate), (actions, states) = jax.lax.scan(
             body, (mppi_carry, wstate), None, length=device_steps
         )
-        return mppi_carry, wstate, actions, states
+        flat = jnp.concatenate(
+            [
+                l.reshape(device_steps, -1).astype(jnp.float32)
+                for l in jax.tree.leaves(states)
+            ],
+            axis=1,
+        )
+        packed = jnp.concatenate(
+            [flat, actions.reshape(device_steps, -1).astype(jnp.float32)], axis=1
+        )
+        return mppi_carry, wstate, packed
+
+    def _unpack(packed_h):
+        """(N, X) host array → (list of per-step SimState, actions)."""
+        acts = packed_h[:, sum(leaf_sizes):]
+        states = []
+        for i in range(device_steps):
+            row, off, leaves = packed_h[i], 0, []
+            for sz, sh in zip(leaf_sizes, leaf_shapes):
+                leaves.append(row[off: off + sz].reshape(sh))
+                off += sz
+            states.append(jax.tree.unflatten(tree_def, leaves))
+        return states, acts
 
     step = 0
     prev_pos = None
     while step < n:
         t0 = time.perf_counter()
         planner.objective.reset()
-        carry, wstate, actions, states_d = chunk(planner.mppi.carry, world.state)
+        carry, wstate, packed = chunk(planner.mppi.carry, world.state)
         planner.mppi.carry = carry
         world.state = wstate
-        states, actions_h = jax.device_get((states_d, actions))
+        states_list, actions_h = _unpack(np.asarray(packed))
         t1 = time.perf_counter()
 
         per = (t1 - t0) / device_steps
@@ -184,12 +215,12 @@ def _run_chunked(
             metrics.fps.append(1.0 / max(per, 1e-9))
             metrics.rt_factor.append(dt / max(per, 1e-9))
             metrics.steps = step + 1
-            rp = np.asarray(states.root_pos[i][0, 0])
+            rp = np.asarray(states_list[i].root_pos[0, 0])
             if prev_pos is not None:
                 metrics.path_length += float(np.linalg.norm(rp - prev_pos))
             prev_pos = rp
             if success_fn is not None and metrics.success_step is None:
-                world_i = _StateProxy(world, jax.tree.map(lambda s: s[i], states))
+                world_i = _StateProxy(world, states_list[i])
                 if success_fn(world_i):
                     metrics.success_step = step
                     # rewind the live world to the success step

@@ -212,7 +212,7 @@ class Simulation:
         u = jnp.asarray(u, jnp.float32)
         if u.ndim == 1:
             u = jnp.broadcast_to(u, (self.num_envs, u.shape[0]))
-        tgt = self.built.cmd_map.apply(u)
+        tgt = self.built.cmd_map.apply(u, self.state.q)
         self.state = self.state._replace(dof_target=tgt)
 
     def step(self):

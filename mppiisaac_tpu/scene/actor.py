@@ -54,6 +54,11 @@ class ActorSpec:
     # what makes its picks drop-free; a threshold keeps deliberate opening
     # possible while removing MPPI's open/close dither mid-transport.
     gripper_open_threshold: float = 0.0
+    # latching band around the threshold: open needs u > th+hyst, close needs
+    # u < th-hyst, anything between HOLDS the current side (from finger q) —
+    # capture stays possible (decisive open), transport stays drop-free
+    # (dither can't reopen a closed grip). See CommandMap.apply.
+    gripper_hysteresis: float = 0.12
     armature: float = 0.0
 
     @staticmethod

@@ -50,18 +50,31 @@ class CommandMap:
     """dof_target = W @ u, then binarized gripper overrides."""
     nu: int
     W: np.ndarray                                 # (ndof, nu)
-    # (dof, u_src, close_target, open_target, open_threshold): finger dofs are
-    # POSITION-driven (model.py build_articulation) and binarize to
-    # fully-closed / fully-open position targets from the source command
-    # (reference `apply_robot_cmd`, `isaacgym_wrapper.py:561-565`; threshold
-    # semantics documented at ActorSpec.gripper_open_threshold)
-    binarize_dofs: List[Tuple[int, int, float, float, float]] = field(default_factory=list)
+    # (dof, u_src, close_target, open_target, open_threshold, hysteresis):
+    # finger dofs are POSITION-driven (model.py build_articulation) and
+    # binarize to fully-closed / fully-open position targets from the source
+    # command (reference `apply_robot_cmd`, `isaacgym_wrapper.py:561-565`).
+    # hysteresis > 0 makes the flip LATCHING: open only on u > th+hyst, close
+    # only on u < th-hyst, otherwise hold the current side (decided from the
+    # finger's position q). The reference's own binarize chain leaves the
+    # fingers permanently closing — drop-free transport but no deliberate
+    # opening; hysteresis keeps both while killing MPPI's open/close dither.
+    binarize_dofs: List[Tuple[int, int, float, float, float, float]] = field(default_factory=list)
 
-    def apply(self, u: jnp.ndarray) -> jnp.ndarray:
-        """u (..., nu) → dof targets (..., ndof)."""
+    def apply(self, u: jnp.ndarray, q: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        """u (..., nu) → dof targets (..., ndof). q (..., ndof) enables the
+        hysteresis hold branch (without it the flip is a plain threshold)."""
         tgt = jnp.einsum("dn,...n->...d", jnp.asarray(self.W, u.dtype), u)
-        for dof, src, lo, hi, th in self.binarize_dofs:
-            val = jnp.where(u[..., src] > th, hi, lo)
+        for dof, src, lo, hi, th, band in self.binarize_dofs:
+            uc = u[..., src]
+            if band > 0.0 and q is not None:
+                cur_open = q[..., dof] > lo + 0.75 * (hi - lo)
+                val = jnp.where(
+                    uc > th + band, hi,
+                    jnp.where(uc < th - band, lo, jnp.where(cur_open, hi, lo)),
+                )
+            else:
+                val = jnp.where(uc > th, hi, lo)
             tgt = tgt.at[..., dof].set(val)
         return tgt
 
@@ -197,6 +210,7 @@ def _build_cmd_map(specs: List[ActorSpec], actors: List[Articulation], dof_offse
                         off + j, src,
                         float(art.dof_lower[j]), float(art.dof_upper[j]),
                         float(spec.gripper_open_threshold),
+                        float(spec.gripper_hysteresis),
                     ))
     W = np.stack(cols, axis=1) if cols else np.zeros((ndof, 0))
     return CommandMap(nu=u_idx, W=W, binarize_dofs=binarize)
