@@ -141,11 +141,64 @@ def run_task(
 
 def _run_chunked(
     cfg, world, planner, metrics, n, dt, device_steps,
-    success_fn=None, verbose=False,
+    success_fn=None, verbose=False, chunk_fns=None,
 ) -> LoopMetrics:
     """N control steps per host round-trip: scan(plan → apply → world-step)
     entirely on device, stacking each post-step world SimState; the host
-    fetches the small stacked states once per chunk for success/metrics."""
+    fetches the small stacked states once per chunk for success/metrics.
+    chunk_fns: optional prebuilt (chunk, unpack) from _build_chunk — reusing
+    it across episodes skips the (minutes-long on this backend) re-jit."""
+    if chunk_fns is None:
+        chunk_fns = _build_chunk(cfg, world, planner, device_steps)
+    chunk, _unpack = chunk_fns
+    step = 0
+    prev_pos = None
+    while step < n:
+        t0 = time.perf_counter()
+        planner.objective.reset()
+        carry, wstate, packed = chunk(planner.mppi.carry, world.state)
+        planner.mppi.carry = carry
+        world.state = wstate
+        states_list, actions_h = _unpack(np.asarray(packed))
+        t1 = time.perf_counter()
+
+        per = (t1 - t0) / device_steps
+        for i in range(device_steps):
+            if step >= n:
+                break
+            metrics.solver_time.append(per)
+            metrics.fps.append(1.0 / max(per, 1e-9))
+            metrics.rt_factor.append(dt / max(per, 1e-9))
+            metrics.steps = step + 1
+            rp = np.asarray(states_list[i].root_pos[0, 0])
+            if prev_pos is not None:
+                metrics.path_length += float(np.linalg.norm(rp - prev_pos))
+            prev_pos = rp
+            if success_fn is not None and metrics.success_step is None:
+                world_i = _StateProxy(world, states_list[i])
+                if success_fn(world_i):
+                    metrics.success_step = step
+                    # rewind the live world to the success step
+                    world.state = world_i.state
+                    break
+            step += 1
+        if verbose:
+            print(
+                f"chunk @{metrics.steps}: {per*1e3:7.2f} ms/step  RT {dt/max(per,1e-9):6.2f}"
+            )
+        if metrics.success_step is not None:
+            break
+    metrics.final_state_finite = bool(
+        all(
+            np.isfinite(np.asarray(leaf)).all()
+            for leaf in jax.tree.leaves(world.state)
+        )
+    )
+    return metrics
+
+
+def _build_chunk(cfg, world, planner, device_steps):
+    """Jit the device-side N-step scan once; returns (chunk, unpack)."""
     cmd_map = world.built.cmd_map
     world_step = world._step_fn          # jitted; inlined when traced below
     full_command = planner._full_command
@@ -196,50 +249,59 @@ def _run_chunked(
             states.append(jax.tree.unflatten(tree_def, leaves))
         return states, acts
 
-    step = 0
-    prev_pos = None
-    while step < n:
-        t0 = time.perf_counter()
-        planner.objective.reset()
-        carry, wstate, packed = chunk(planner.mppi.carry, world.state)
-        planner.mppi.carry = carry
-        world.state = wstate
-        states_list, actions_h = _unpack(np.asarray(packed))
-        t1 = time.perf_counter()
+    return chunk, _unpack
 
-        per = (t1 - t0) / device_steps
-        for i in range(device_steps):
-            if step >= n:
-                break
-            metrics.solver_time.append(per)
-            metrics.fps.append(1.0 / max(per, 1e-9))
-            metrics.rt_factor.append(dt / max(per, 1e-9))
-            metrics.steps = step + 1
-            rp = np.asarray(states_list[i].root_pos[0, 0])
-            if prev_pos is not None:
-                metrics.path_length += float(np.linalg.norm(rp - prev_pos))
-            prev_pos = rp
-            if success_fn is not None and metrics.success_step is None:
-                world_i = _StateProxy(world, states_list[i])
-                if success_fn(world_i):
-                    metrics.success_step = step
-                    # rewind the live world to the success step
-                    world.state = world_i.state
-                    break
-            step += 1
-        if verbose:
-            print(
-                f"chunk @{metrics.steps}: {per*1e3:7.2f} ms/step  RT {dt/max(per,1e-9):6.2f}"
-            )
-        if metrics.success_step is not None:
-            break
-    metrics.final_state_finite = bool(
-        all(
-            np.isfinite(np.asarray(leaf)).all()
-            for leaf in jax.tree.leaves(world.state)
-        )
+
+def run_task_episodes(
+    cfg: ExampleConfig,
+    objective,
+    seeds,
+    prior=None,
+    n_steps: Optional[int] = None,
+    success_fn: Optional[Callable] = None,
+    device_steps: int = 16,
+    randomize: bool = True,
+    verbose: bool = False,
+):
+    """Multi-episode protocol on ONE build: the world, planner, and the
+    chunked device loop are constructed and compiled once, then each seed
+    runs a fresh episode (initial poses restored, solver carry re-keyed).
+    This is the reference's tuning/benchmark episode loop
+    (`examples/panda_pick/tuning.py:74-113`, reset via
+    `reset_to_initial_poses`) minus the per-episode sim rebuild — on this
+    backend a rebuild costs minutes of recompilation per episode.
+    Returns {seed: LoopMetrics}."""
+    world = Simulation(
+        cfg=cfg.isaacgym,
+        actors=cfg.actors,
+        init_positions=cfg.initial_actor_positions,
+        num_envs=1,
     )
-    return metrics
+    if getattr(cfg, "goal", None) is not None and "goal" in [s_.name for s_ in world.built.specs]:
+        gp = np.zeros(3)
+        g = np.asarray(cfg.goal, dtype=np.float64).reshape(-1)
+        gp[: len(g)] = g[:3]
+        world.set_actor_position_by_name("goal", gp)
+    goal_state = world.state
+    planner = MPPIisaacPlanner(cfg, objective, prior, randomize=randomize)
+    chunk_fns = _build_chunk(cfg, world, planner, device_steps)
+    n = n_steps if n_steps is not None else cfg.n_steps
+    dt = cfg.isaacgym.dt
+
+    results = {}
+    for seed in seeds:
+        world.state = goal_state          # initial poses incl. goal marker
+        planner.mppi.carry = planner.mppi.init_carry()._replace(
+            key=jax.random.PRNGKey(int(seed))
+        )
+        metrics = _run_chunked(
+            cfg, world, planner, LoopMetrics(), n, dt, device_steps,
+            success_fn=success_fn, verbose=verbose, chunk_fns=chunk_fns,
+        )
+        results[seed] = metrics
+        if verbose:
+            print(f"seed {seed}: {metrics.summary()}")
+    return results
 
 
 class _StateProxy:

@@ -22,3 +22,27 @@ def test_point_robot_chunked_device_loop():
     )
     assert m.success_step is not None, m.summary()
     assert m.final_state_finite
+
+
+def test_multi_episode_runner_single_build():
+    """run_task_episodes: one build + compile, N seeded episodes with state
+    and solver-carry resets (the tuning/benchmark episode protocol,
+    reference `examples/panda_pick/tuning.py:74-113`)."""
+    from mppiisaac_tpu.runtime.loop import run_task_episodes
+    from mppiisaac_tpu.utils.config_store import load_config
+    from mppiisaac_tpu.tasks.point_robot import PointRobotObjective
+
+    cfg = load_config("tasks/point_robot", ["mppi.num_samples=64"])
+    goal = np.asarray(cfg.goal, np.float64).reshape(-1)[:2]
+
+    def success(world):
+        q = np.asarray(world.state.q[0, :2])
+        return float(np.linalg.norm(q - goal)) < 0.2
+
+    rs = run_task_episodes(
+        cfg, PointRobotObjective(cfg), seeds=[0, 1], n_steps=60,
+        success_fn=success, device_steps=8, randomize=False,
+    )
+    assert all(m.success_step is not None for m in rs.values()), {
+        s: m.summary() for s, m in rs.items()
+    }
