@@ -76,7 +76,10 @@ def run_task(
     # place the goal marker from cfg.goal (the reference moves it via viewer
     # teleop; headless runs set it here; rollouts read it from world state)
     if getattr(cfg, "goal", None) is not None and "goal" in [s_.name for s_ in world.built.specs]:
-        gp = np.zeros(3)
+        # preserve the goal MARKER's configured height when cfg.goal is 2D
+        # (the reference leaves the marker at its yaml pose, z=0.5 — a z=0
+        # goal drags 3D-distance objectives downward by the body height)
+        gp = np.asarray(world.get_actor_position_by_name("goal"))[0].astype(np.float64)
         g = np.asarray(cfg.goal, dtype=np.float64).reshape(-1)
         gp[: len(g)] = g[:3]
         world.set_actor_position_by_name("goal", gp)
@@ -278,7 +281,10 @@ def run_task_episodes(
         num_envs=1,
     )
     if getattr(cfg, "goal", None) is not None and "goal" in [s_.name for s_ in world.built.specs]:
-        gp = np.zeros(3)
+        # preserve the goal MARKER's configured height when cfg.goal is 2D
+        # (the reference leaves the marker at its yaml pose, z=0.5 — a z=0
+        # goal drags 3D-distance objectives downward by the body height)
+        gp = np.asarray(world.get_actor_position_by_name("goal"))[0].astype(np.float64)
         g = np.asarray(cfg.goal, dtype=np.float64).reshape(-1)
         gp[: len(g)] = g[:3]
         world.set_actor_position_by_name("goal", gp)
