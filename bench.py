@@ -60,8 +60,21 @@ def main():
     float(np.asarray(action).sum())
     dt = (time.perf_counter() - t0) / ITERS
 
+    # per-command LATENCY (independent dispatches, each host-synced): what a
+    # real-time control loop sees per step, including this backend's fixed
+    # per-dispatch round-trip (~47 ms on the axon tunnel; ~0 on local chips)
+    t0 = time.perf_counter()
+    for _ in range(5):
+        a_l, _, _ = planner.mppi._command(carry, state0)
+        float(np.asarray(a_l).sum())
+    lat_ms = (time.perf_counter() - t0) / 5 * 1e3
+    print(f"per-command latency (unpipelined, incl. dispatch): {lat_ms:.1f} ms",
+          file=sys.stderr)
+
     control_hz = 1.0 / dt
-    substeps = planner.sim.engine.substeps
+    fused = planner.mppi.fused
+    # rollout-model substeps (may be coarser than the world engine's)
+    substeps = fused.substeps if fused is not None else planner.sim.engine.substeps
     env_steps = K * H / dt                  # control-dt env steps per second
     phys_steps = env_steps * substeps       # physics substeps per second
 
