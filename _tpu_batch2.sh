@@ -22,6 +22,10 @@ run() {  # run <name> <timeout_s> <cmd...>
 }
 
 run pick_fast   4000 python _exp33b.py fast
+# fall back to world-fidelity validation only if fast-fidelity missed seeds
+if ! grep -q "SUCCESS [45]/5" /tmp/b2_pick_fast.log; then
+  run pick_default 4000 python _exp33b.py default
+fi
 run anymal_grid 7000 python _exp41.py
 run suite       9000 python _exp43.py
 run omni_pick   4000 python _exp42.py

@@ -48,6 +48,11 @@ class MPPIConfig:
     rollout_fidelity: str = "world"           # world | fast
     rollout_substeps: Optional[int] = None    # None = match the world sim
     rollout_sweeps: int = 2                   # GS impulse sweeps per substep
+    # tape-prior sampling-mean blend (biased MPPI): sample around
+    # (1-a)·U + a·tape instead of U. 0 = off (tape rides one sample only).
+    # Rhythmic priors (quadruped gait) need the blend — a single tape sample
+    # among K cannot hold phase coherence in the weighted average.
+    prior_blend: float = 0.0
 
     def resolved(self, nu: int) -> "MPPIConfig":
         """Normalize list/scalar fields to numpy arrays of the right shape."""

@@ -32,12 +32,22 @@ class MppiCarry(NamedTuple):
     lambda_: jnp.ndarray    # () temperature
     sigma: jnp.ndarray      # (nu, nu) sampling covariance
     key: jnp.ndarray        # PRNG key
+    t0: Any = 0             # () int32 — world control steps executed so far
+                            # (phase clock for time-indexed tape priors)
 
 
 class MPPIPlanner:
     """dynamics: (state, u (nu,), t) -> state   — PER-SAMPLE pytree step
     running_cost: (state, t) -> () cost        — per-sample
     prior: optional (state, t) -> (nu,) command, applied to one sample
+      CLOSED-LOOP inside the rollout (XLA path only — a state-dependent
+      per-step callback cannot ride the fused kernel).
+    tape_prior: optional (state_single, t0) -> (H, nu) control tape, computed
+      ONCE per command from the measured world state and the global step clock
+      and injected as one sample's full control sequence. Works on BOTH the
+      XLA and fused paths (it never enters the rollout kernel). This is the
+      natural form for rhythmic priors (quadruped gaits) where phase
+      continuity across commands matters more than per-step feedback.
     vis_fn: optional (state) -> (d,) per-step visualization payload
 
     The planner vmaps the whole per-sample H-step rollout over K
@@ -56,6 +66,7 @@ class MPPIPlanner:
         prior: Optional[Callable] = None,
         vis_fn: Optional[Callable] = None,
         fused=None,
+        tape_prior: Optional[Callable] = None,
     ):
         # `fused`: optional ops.pallas.fused_rollout.FusedRollout — replaces
         # the vmap-of-scan rollout with one Pallas kernel (state0 must then be
@@ -68,6 +79,7 @@ class MPPIPlanner:
         self.dynamics = dynamics
         self.running_cost = running_cost
         self.prior = prior
+        self.tape_prior = tape_prior
         self.vis_fn = vis_fn
 
         c = self.cfg
@@ -121,6 +133,7 @@ class MPPIPlanner:
             lambda_=jnp.asarray(c.lambda_, jnp.float32),
             sigma=jnp.asarray(c.noise_sigma, jnp.float32),
             key=jax.random.PRNGKey(c.seed_val),
+            t0=jnp.asarray(0, jnp.int32),
         )
 
     # ------------------------------------------------------------------
@@ -164,6 +177,22 @@ class MPPIPlanner:
         V = jnp.clip(carry.U[None] + eps, u_min, u_max)       # (K,H,nu)
         if c.sample_null_action:
             V = V.at[K - 1].set(0.0)
+        if self.tape_prior is not None and c.use_priors:
+            # one sample rolls the prior's full tape; eps_eff below uses the
+            # ACTUAL controls so a winning tape drags U toward the tape itself
+            st1 = jax.tree.map(lambda x: x[0], state0)
+            tape = jnp.clip(
+                self.tape_prior(st1, carry.t0).astype(jnp.float32), u_min, u_max
+            )
+            if c.prior_blend > 0.0:
+                # biased MPPI: shift the sampling MEAN toward the tape. The
+                # importance term below still measures deviation from U, so a
+                # good blend drags U toward the tape and a bad one decays it.
+                a = jnp.float32(c.prior_blend)
+                V = jnp.clip((1 - a) * carry.U[None] + a * tape[None] + eps, u_min, u_max)
+                if c.sample_null_action:
+                    V = V.at[K - 1].set(0.0)
+            V = V.at[K - 2].set(tape)
         eps_eff = V - carry.U[None]
 
         sigma_inv = jnp.linalg.inv(
@@ -272,7 +301,10 @@ class MPPIPlanner:
             sigma = 0.9 * sigma + 0.1 * weighted
             sigma = sigma + jnp.eye(nu, dtype=sigma.dtype) * 1e-5
 
-        new_carry = MppiCarry(U=U_shift, lambda_=lam, sigma=sigma, key=key)
+        new_carry = MppiCarry(
+            U=U_shift, lambda_=lam, sigma=sigma, key=key,
+            t0=carry.t0 + c.u_per_command,
+        )
         info = {
             "costs": S,
             "weights": w,

@@ -105,11 +105,18 @@ class MPPIisaacPlanner:
         else:
             vis_fn = None
 
-        if prior is not None:
+        # two prior forms (mppi/solver.py): a `.tape(view, t0) -> (H, nu)`
+        # prior is evaluated once per command outside the rollout and is
+        # fused-kernel-compatible; a `.compute_command(view)` prior is a
+        # closed-loop per-step callback (XLA rollout only — the reference's
+        # fabrics form, `mppi_isaac.py:38-41`)
+        prior_fn = tape_fn = None
+        if prior is not None and hasattr(prior, "tape"):
+            def tape_fn(state_single, t0):
+                return prior.tape(SimView(built, state_single[0]), t0)
+        elif prior is not None:
             def prior_fn(state, t):
                 return prior.compute_command(SimView(built, state[0]))
-        else:
-            prior_fn = None
 
         # fused Pallas rollout: one kernel for the whole H×substeps×physics×
         # cost rollout — used when the objective provides a kernel cost and we
@@ -117,7 +124,7 @@ class MPPIisaacPlanner:
         if use_fused is None:
             use_fused = (
                 hasattr(objective, "kernel_cost")
-                and prior is None
+                and prior_fn is None
                 and jax.default_backend() not in ("cpu",)
             )
         fused = None
@@ -143,6 +150,7 @@ class MPPIisaacPlanner:
             dynamics=dynamics,
             running_cost=running_cost,
             prior=prior_fn,
+            tape_prior=tape_fn,
             vis_fn=vis_fn,
             fused=fused,
         )

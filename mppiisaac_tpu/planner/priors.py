@@ -71,6 +71,81 @@ class PointNavigationPrior:
         return _nan_guard(u)
 
 
+class QuadrupedGaitPrior:
+    """Rhythmic trot tape for quadrupeds (anymal) — a TIME-INDEXED prior.
+
+    The reference's priors are closed-loop per-step policies; a gait instead
+    needs PHASE CONTINUITY across control steps, which the tape-prior form
+    provides (mppi/solver.py `tape_prior`): once per command this emits the
+    next H steps of a diagonal-trot velocity-target tape, phase-locked to the
+    global control-step clock, steered toward the goal from the measured base
+    pose. MPPI samples around it; replanning supplies the balance feedback an
+    open-loop trot lacks (matches the reference's emergent-gait task,
+    `examples/anymal/planner.py:22-48`).
+
+    Joint layout: (HAA, HFE, KFE) × (LF, RF, LH, RH), velocity drive.
+    Stance half: HFE pushes the body forward (+push sweeps thighs back);
+    swing half: HFE returns, KFE lifts then lowers the foot.
+    """
+
+    def __init__(
+        self,
+        robot: str = "anymal",
+        goal_actor: str = "goal",
+        H: int = 12,
+        dt: float = 0.1,
+        freq: float = 1.0,          # gait cycles per second
+        push: float = 0.8,          # stance HFE velocity target (rad/s)
+        lift: float = 1.5,          # swing KFE velocity target
+        k_turn: float = 0.8,        # differential-stride steering gain
+        stop_radius: float = 0.4,   # taper stride to zero inside this
+    ):
+        self.robot = robot
+        self.goal_actor = goal_actor
+        self.H = int(H)
+        self.dt = float(dt)
+        self.freq = float(freq)
+        self.push = float(push)
+        self.lift = float(lift)
+        self.k_turn = float(k_turn)
+        self.stop_radius = float(stop_radius)
+        # diagonal pairs: LF+RH lead, RF+LH a half-period behind
+        self._phase = np.array([0.0, 0.5, 0.5, 0.0], np.float32)  # LF RF LH RH
+        self._left = np.array([1.0, 0.0, 1.0, 0.0], np.float32)   # LF LH are left
+
+    def tape(self, view: SimView, t0) -> jnp.ndarray:
+        from ..physics.math3d import quat_to_yaw
+
+        base = view.link_position("base", self.robot)
+        goal = view.actor_position(self.goal_actor)
+        quat = view.actor_orientation(self.robot)
+        yaw = quat_to_yaw(quat)
+        to_goal = goal[..., :2] - base[..., :2]
+        dist = jnp.linalg.norm(to_goal)
+        hdg_err = jnp.arctan2(to_goal[..., 1], to_goal[..., 0]) - yaw
+        hdg_err = jnp.arctan2(jnp.sin(hdg_err), jnp.cos(hdg_err))  # wrap ±π
+
+        stride = jnp.clip(dist / self.stop_radius, 0.0, 1.0)
+        fwd = stride * jnp.clip(jnp.cos(hdg_err), 0.0, 1.0)       # gate on facing
+        turn = stride * self.k_turn * jnp.sin(hdg_err)
+        # left legs shorten stride when turning left (turn > 0), and vice versa
+        leg_gain = fwd[None] + turn[None] * jnp.where(
+            jnp.asarray(self._left) > 0, -1.0, 1.0
+        )                                                          # (4,)
+
+        t = t0 + jnp.arange(self.H)                                # (H,)
+        ph = (t[:, None] * (self.dt * self.freq) + self._phase[None]) % 1.0
+        in_stance = ph < 0.5
+        sw = jnp.clip((ph - 0.5) / 0.5, 0.0, 1.0)                  # swing progress
+        hfe = jnp.where(in_stance, self.push, -self.push) * leg_gain[None]
+        kfe = jnp.where(
+            in_stance, 0.0, jnp.where(sw < 0.5, self.lift, -self.lift)
+        ) * jnp.maximum(jnp.abs(leg_gain[None]), 0.2 * stride)
+        haa = jnp.zeros_like(hfe)
+        u = jnp.stack([haa, hfe, kfe], axis=-1).reshape(self.H, 12)  # (H, 4, 3)
+        return _nan_guard(u)
+
+
 class ArmJacobianPrior:
     """Jacobian-transpose EE attraction for fixed-base arms (velocity mode).
 

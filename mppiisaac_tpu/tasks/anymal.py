@@ -74,6 +74,11 @@ def run(overrides=None, **kw):
 
     cfg = load_config("tasks/anymal", overrides)
     obj = AnymalObjective(cfg)
+    prior = None
+    if cfg.mppi.use_priors:
+        from ..planner.priors import QuadrupedGaitPrior
+
+        prior = QuadrupedGaitPrior(H=cfg.mppi.horizon, dt=cfg.isaacgym.dt)
 
     def success(world):
         import numpy as np
@@ -83,7 +88,7 @@ def run(overrides=None, **kw):
         goal = np.asarray(v.actor_position("goal"))[0, :2]
         return float(np.linalg.norm(body - goal)) < 0.3
 
-    return run_task(cfg, obj, success_fn=success, **kw)
+    return run_task(cfg, obj, prior=prior, success_fn=success, **kw)
 
 
 if __name__ == "__main__":
