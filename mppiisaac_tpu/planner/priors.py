@@ -99,6 +99,8 @@ class QuadrupedGaitPrior:
         lift: float = 1.5,          # swing KFE velocity target
         k_turn: float = 0.8,        # differential-stride steering gain
         stop_radius: float = 0.4,   # taper stride to zero inside this
+        duty: float = 0.5,          # stance fraction (0.5 trot … 0.75 crawl)
+        phases=None,                # per-leg phase offsets (LF, RF, LH, RH)
     ):
         self.robot = robot
         self.goal_actor = goal_actor
@@ -109,8 +111,12 @@ class QuadrupedGaitPrior:
         self.lift = float(lift)
         self.k_turn = float(k_turn)
         self.stop_radius = float(stop_radius)
-        # diagonal pairs: LF+RH lead, RF+LH a half-period behind
-        self._phase = np.array([0.0, 0.5, 0.5, 0.0], np.float32)  # LF RF LH RH
+        self.duty = float(duty)
+        # default = diagonal trot: LF+RH lead, RF+LH a half-period behind;
+        # a walking crawl is duty=0.75, phases (0, .5, .75, .25)
+        self._phase = np.asarray(
+            phases if phases is not None else [0.0, 0.5, 0.5, 0.0], np.float32
+        )  # LF RF LH RH
         self._left = np.array([1.0, 0.0, 1.0, 0.0], np.float32)   # LF LH are left
 
     def tape(self, view: SimView, t0) -> jnp.ndarray:
@@ -135,9 +141,13 @@ class QuadrupedGaitPrior:
 
         t = t0 + jnp.arange(self.H)                                # (H,)
         ph = (t[:, None] * (self.dt * self.freq) + self._phase[None]) % 1.0
-        in_stance = ph < 0.5
-        sw = jnp.clip((ph - 0.5) / 0.5, 0.0, 1.0)                  # swing progress
-        hfe = jnp.where(in_stance, self.push, -self.push) * leg_gain[None]
+        d = self.duty
+        in_stance = ph < d
+        sw = jnp.clip((ph - d) / (1 - d), 0.0, 1.0)                # swing progress
+        # swing HFE returns faster than stance pushes so the thigh angle is
+        # periodic: push·duty == ret·(1−duty)
+        ret = self.push * d / (1 - d)
+        hfe = jnp.where(in_stance, self.push, -ret) * leg_gain[None]
         kfe = jnp.where(
             in_stance, 0.0, jnp.where(sw < 0.5, self.lift, -self.lift)
         ) * jnp.maximum(jnp.abs(leg_gain[None]), 0.2 * stride)
