@@ -101,6 +101,7 @@ class QuadrupedGaitPrior:
         stop_radius: float = 0.4,   # taper stride to zero inside this
         duty: float = 0.5,          # stance fraction (0.5 trot … 0.75 crawl)
         phases=None,                # per-leg phase offsets (LF, RF, LH, RH)
+        posture_gain: float = 2.0,  # PD pull of joints toward the rest pose
     ):
         self.robot = robot
         self.goal_actor = goal_actor
@@ -112,6 +113,7 @@ class QuadrupedGaitPrior:
         self.k_turn = float(k_turn)
         self.stop_radius = float(stop_radius)
         self.duty = float(duty)
+        self.posture_gain = float(posture_gain)
         # default = diagonal trot: LF+RH lead, RF+LH a half-period behind;
         # a walking crawl is duty=0.75, phases (0, .5, .75, .25)
         self._phase = np.asarray(
@@ -153,6 +155,12 @@ class QuadrupedGaitPrior:
         ) * jnp.maximum(jnp.abs(leg_gain[None]), 0.2 * stride)
         haa = jnp.zeros_like(hfe)
         u = jnp.stack([haa, hfe, kfe], axis=-1).reshape(self.H, 12)  # (H, 4, 3)
+        # posture PD: pull every joint back toward the rest pose (q = 0 is the
+        # baked X-stance). Open-loop velocity gaits accumulate thigh drift
+        # under load asymmetry until the body grounds; this closes that loop
+        # through the prior itself (the tape sees the measured state).
+        q = view.actor_q(self.robot)
+        u = u + self.posture_gain * (-q)[None, :]
         return _nan_guard(u)
 
 
