@@ -1,0 +1,170 @@
+"""Committed TPU validation runner (replaces ad-hoc _exp*.py scripts).
+
+Subcommands (run ONE at a time on the TPU — the tunnel serializes anyway):
+  pick [fast|world] [n_seeds]   5-seed panda_pick sweep (reference success:
+                                ||block-goal|| < 0.2, omni_panda_pick/world.py:66-75)
+  omni [n_seeds]                omni_panda_pick (effort mode) sweep
+  anymal [n_seeds]              anymal goal-reach episodes with gait prior
+  suite                         one episode of every non-pick task
+Each prints one JSON line per episode and a final JSON summary.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.makedirs("/root/repo/.jax_cache", exist_ok=True)
+
+
+def _jax_cache():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+
+
+def _summ(results):
+    ok = [s for s, m in results.items() if m.success_step is not None]
+    return {
+        "episodes": len(results),
+        "successes": len(ok),
+        "success_seeds": ok,
+        "steps": {s: m.success_step for s, m in results.items()},
+        "mean_ms_per_step": round(
+            sum(sum(m.solver_time) / max(len(m.solver_time), 1) for m in results.values())
+            / max(len(results), 1) * 1e3, 2),
+    }
+
+
+def pick(fidelity="fast", n_seeds=5, task="panda_pick"):
+    _jax_cache()
+    import numpy as np
+
+    from mppiisaac_tpu.runtime.loop import run_task_episodes
+    from mppiisaac_tpu.utils.config_store import load_config
+
+    if task == "panda_pick":
+        from mppiisaac_tpu.tasks.panda_pick import PandaPickObjective as Obj
+
+        block = "panda_pick_block"
+    else:
+        from mppiisaac_tpu.tasks.omni_panda_pick import OmniPandaPickObjective as Obj
+
+        block = "panda_pick_block"
+    over = [f"mppi.rollout_fidelity={'world' if fidelity == 'world' else 'fast'}"]
+    cfg = load_config(f"tasks/{task}", over)
+    obj = Obj(cfg)
+
+    def success(world):
+        v = world.view
+        b = np.asarray(v.actor_position(block))[0]
+        g = np.asarray(v.actor_position("goal"))[0]
+        return float(np.linalg.norm(b - g)) < 0.2
+
+    t0 = time.perf_counter()
+    results = run_task_episodes(
+        cfg, obj, seeds=list(range(int(n_seeds))), success_fn=success,
+        device_steps=16, verbose=True,
+    )
+    s = _summ(results)
+    s["task"], s["fidelity"] = task, fidelity
+    s["wall_s"] = round(time.perf_counter() - t0, 1)
+    print("SUMMARY " + json.dumps(s))
+    print(f"SUCCESS {s['successes']}/{s['episodes']}")
+    return s
+
+
+def anymal(n_seeds=3):
+    _jax_cache()
+    import numpy as np
+
+    from mppiisaac_tpu.planner.priors import QuadrupedGaitPrior
+    from mppiisaac_tpu.runtime.loop import run_task_episodes
+    from mppiisaac_tpu.tasks.anymal import AnymalObjective
+    from mppiisaac_tpu.utils.config_store import load_config
+
+    cfg = load_config("tasks/anymal", None)
+    obj = AnymalObjective(cfg)
+    prior = QuadrupedGaitPrior(H=cfg.mppi.horizon, dt=cfg.isaacgym.dt)
+
+    def success(world):
+        v = world.view
+        body = np.asarray(v.link_position("base", "anymal"))[0, :2]
+        goal = np.asarray(v.actor_position("goal"))[0, :2]
+        return float(np.linalg.norm(body - goal)) < 0.3
+
+    def diag(world):
+        v = world.view
+        body = np.asarray(v.link_position("base", "anymal"))[0]
+        return body
+
+    t0 = time.perf_counter()
+    results = run_task_episodes(
+        cfg, obj, seeds=list(range(int(n_seeds))), prior=prior,
+        success_fn=success, device_steps=16, verbose=True,
+    )
+    s = _summ(results)
+    s["task"] = "anymal"
+    s["wall_s"] = round(time.perf_counter() - t0, 1)
+    print("SUMMARY " + json.dumps(s))
+    print(f"SUCCESS {s['successes']}/{s['episodes']}")
+    return s
+
+
+def suite():
+    """One episode per non-pick task (world-loop smoke + success)."""
+    _jax_cache()
+    import importlib
+
+    def mod(m):
+        return importlib.import_module(f"mppiisaac_tpu.tasks.{m}")
+
+    plan = [
+        ("point_robot", mod("point_robot").run, {}),
+        ("panda", mod("panda_reach").run, {}),
+        ("heijn_reach", mod("mobile_reach").run, {"robot": "heijn"}),
+        ("heijn_push", mod("mobile_push").run, {"robot": "heijn"}),
+        ("boxer_reach", mod("mobile_reach").run,
+         {"robot": "boxer", "overrides": ["mppi.horizon=24"]}),
+        ("boxer_push", mod("mobile_push").run, {"robot": "boxer"}),
+        ("panda_stick_push", mod("panda_stick_push").run, {}),
+        ("albert", mod("albert").run, {}),
+    ]
+    out = {}
+    for name, fn, kw in plan:
+        t0 = time.perf_counter()
+        try:
+            over = kw.pop("overrides", None)
+            m = fn(overrides=over, device_steps=16, **kw)
+            out[name] = {
+                "success_step": m.success_step,
+                "steps": m.steps,
+                "finite": m.final_state_finite,
+                "wall_s": round(time.perf_counter() - t0, 1),
+            }
+        except Exception as e:  # keep sweeping; record the failure
+            out[name] = {"error": repr(e)[:300]}
+        print(f"TASK {name}: {json.dumps(out[name])}", flush=True)
+    n_ok = sum(1 for v in out.values() if v.get("success_step") is not None)
+    print("SUMMARY " + json.dumps(out))
+    print(f"SUCCESS {n_ok}/{len(out)}")
+    return out
+
+
+if __name__ == "__main__":
+    cmd = sys.argv[1] if len(sys.argv) > 1 else "pick"
+    args = sys.argv[2:]
+    if cmd == "pick":
+        pick(*args)
+    elif cmd == "omni":
+        pick(args[0] if args else "fast", args[1] if len(args) > 1 else 5,
+             task="omni_panda_pick")
+    elif cmd == "anymal":
+        anymal(*args)
+    elif cmd == "suite":
+        suite()
+    else:
+        raise SystemExit(f"unknown subcommand {cmd}")
