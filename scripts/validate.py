@@ -39,7 +39,7 @@ def _summ(results):
     }
 
 
-def pick(fidelity="fast", n_seeds=5, task="panda_pick"):
+def pick(fidelity="fast", n_seeds=5, task="panda_pick", substeps=""):
     _jax_cache()
     import numpy as np
 
@@ -55,6 +55,8 @@ def pick(fidelity="fast", n_seeds=5, task="panda_pick"):
 
         block = "panda_pick_block"
     over = [f"mppi.rollout_fidelity={'world' if fidelity == 'world' else 'fast'}"]
+    if substeps:
+        over.append(f"mppi.rollout_substeps={substeps}")
     cfg = load_config(f"tasks/{task}", over)
     obj = Obj(cfg)
 
@@ -70,7 +72,7 @@ def pick(fidelity="fast", n_seeds=5, task="panda_pick"):
         device_steps=16, verbose=True,
     )
     s = _summ(results)
-    s["task"], s["fidelity"] = task, fidelity
+    s["task"], s["fidelity"], s["substeps"] = task, fidelity, substeps or "world-match"
     s["wall_s"] = round(time.perf_counter() - t0, 1)
     print("SUMMARY " + json.dumps(s))
     print(f"SUCCESS {s['successes']}/{s['episodes']}")
@@ -154,6 +156,34 @@ def suite():
     return out
 
 
+def one(task, *overrides):
+    """Single episode of any task with CLI-style overrides (diagnostics)."""
+    _jax_cache()
+    import importlib
+
+    robot = None
+    if task in ("boxer_push", "heijn_push"):
+        modname, robot = "mobile_push", task.split("_")[0]
+    elif task in ("boxer_reach", "heijn_reach"):
+        modname, robot = "mobile_reach", task.split("_")[0]
+    elif task == "panda":
+        modname = "panda_reach"
+    else:
+        modname = task
+    m = importlib.import_module(f"mppiisaac_tpu.tasks.{modname}")
+    kw = {"robot": robot} if robot else {}
+    t0 = time.perf_counter()
+    met = m.run(overrides=list(overrides) or None, device_steps=16, **kw)
+    out = {
+        "task": task, "overrides": list(overrides),
+        "success_step": met.success_step, "steps": met.steps,
+        "finite": met.final_state_finite,
+        "wall_s": round(time.perf_counter() - t0, 1),
+    }
+    print("ONE " + json.dumps(out))
+    return out
+
+
 if __name__ == "__main__":
     cmd = sys.argv[1] if len(sys.argv) > 1 else "pick"
     args = sys.argv[2:]
@@ -166,5 +196,7 @@ if __name__ == "__main__":
         anymal(*args)
     elif cmd == "suite":
         suite()
+    elif cmd == "one":
+        one(*args)
     else:
         raise SystemExit(f"unknown subcommand {cmd}")
