@@ -33,9 +33,12 @@ def _summ(results):
         "successes": len(ok),
         "success_seeds": ok,
         "steps": {s: m.success_step for s, m in results.items()},
-        "mean_ms_per_step": round(
-            sum(sum(m.solver_time) / max(len(m.solver_time), 1) for m in results.values())
-            / max(len(results), 1) * 1e3, 2),
+        # median, not mean: the first chunk of the first episode carries the
+        # jit compile and would dominate a mean
+        "median_ms_per_step": round(
+            float(__import__("numpy").median(
+                [t for m in results.values() for t in m.solver_time] or [0.0]
+            )) * 1e3, 2),
     }
 
 
@@ -53,7 +56,7 @@ def pick(fidelity="fast", n_seeds=5, task="panda_pick", substeps=""):
     else:
         from mppiisaac_tpu.tasks.omni_panda_pick import OmniPandaPickObjective as Obj
 
-        block = "panda_pick_block"
+        block = "block"
     over = [f"mppi.rollout_fidelity={'world' if fidelity == 'world' else 'fast'}"]
     if substeps:
         over.append(f"mppi.rollout_substeps={substeps}")
