@@ -95,10 +95,15 @@ def main():
         f"per-command: {dt*1e3:.2f} ms",
         file=sys.stderr,
     )
+    # fidelity is folded into the metric string (advisor r2): vs_baseline
+    # cannot be quoted without the planner-model fidelity it was measured at
     print(
         json.dumps(
             {
-                "metric": "panda_pick rollout env-steps/sec/chip (K=1000, H=30)",
+                "metric": (
+                    "panda_pick rollout env-steps/sec/chip "
+                    f"(K=1000, H=30, fidelity={FIDELITY}, substeps={substeps})"
+                ),
                 "value": round(env_steps, 0),
                 "unit": "env-steps/s",
                 "vs_baseline": round(env_steps / REF_ENV_STEPS_PER_SEC, 2),

@@ -114,8 +114,13 @@ class MPPIPlanner:
             self._sg = None
 
         # when set (parallel.sharding), softmax reductions become cross-chip
-        # collectives over this mesh axis
+        # collectives over this mesh axis; n_shards lets special samples
+        # (null action, prior tape) land on exactly ONE shard — the last,
+        # which owns global sample indices K_total-1 / K_total-2 under the
+        # global-Halton-slice layout — so the sharded sample set is identical
+        # to the single-device one instead of carrying n duplicates
         self.axis_name: Optional[str] = None
+        self.n_shards: int = 1
 
         self._command = jax.jit(self._command_impl)
         self.carry = self.init_carry()
@@ -174,9 +179,16 @@ class MPPIPlanner:
 
         u_min = jnp.asarray(c.u_min, jnp.float32)
         u_max = jnp.asarray(c.u_max, jnp.float32)
+        # special samples (null action / prior tape) occupy the LAST global
+        # sample slots; when sharded, only the last shard injects them so the
+        # global sample set matches the single-device one exactly
+        if self.axis_name is not None and self.n_shards > 1:
+            on_edge = jax.lax.axis_index(self.axis_name) == (self.n_shards - 1)
+        else:
+            on_edge = jnp.asarray(True)
         V = jnp.clip(carry.U[None] + eps, u_min, u_max)       # (K,H,nu)
         if c.sample_null_action:
-            V = V.at[K - 1].set(0.0)
+            V = V.at[K - 1].set(jnp.where(on_edge, 0.0, V[K - 1]))
         if self.tape_prior is not None and c.use_priors:
             # one sample rolls the prior's full tape; eps_eff below uses the
             # ACTUAL controls so a winning tape drags U toward the tape itself
@@ -191,8 +203,8 @@ class MPPIPlanner:
                 a = jnp.float32(c.prior_blend)
                 V = jnp.clip((1 - a) * carry.U[None] + a * tape[None] + eps, u_min, u_max)
                 if c.sample_null_action:
-                    V = V.at[K - 1].set(0.0)
-            V = V.at[K - 2].set(tape)
+                    V = V.at[K - 1].set(jnp.where(on_edge, 0.0, V[K - 1]))
+            V = V.at[K - 2].set(jnp.where(on_edge, tape, V[K - 2]))
         eps_eff = V - carry.U[None]
 
         sigma_inv = jnp.linalg.inv(
@@ -204,7 +216,7 @@ class MPPIPlanner:
         use_prior = self.prior is not None and c.use_priors
         roles = jnp.zeros(K, jnp.int32)
         if use_prior:
-            roles = roles.at[K - 2].set(1)
+            roles = roles.at[K - 2].set(jnp.where(on_edge, 1, 0))
 
         if self.fused is not None:
             sim_state_K, params_K = state0

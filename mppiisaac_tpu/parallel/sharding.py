@@ -74,9 +74,11 @@ def sharded_command(planner_mppi, mesh: Mesh, fused_factory=None):
         prior=planner_mppi.prior,
         vis_fn=planner_mppi.vis_fn,
         fused=fused_factory(K // n) if fused_factory is not None else None,
+        tape_prior=planner_mppi.tape_prior,
     )
     # global softmax: β/η/Σwε reductions inside _command_impl become psums
     local.axis_name = "k"
+    local.n_shards = n
     if shard_cfg.sampling_method == "halton":
         # give every shard a distinct slice of the GLOBAL K-point Halton set
         # (per-shard K/n tables + independent shifts would overlay n copies

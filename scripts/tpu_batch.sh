@@ -3,6 +3,9 @@
 # serializes dispatches anyway; parallel processes just thrash compiles).
 # Logs under /tmp/v_*.log; progress in /tmp/v_progress.log
 cd /root/repo
+# truncate: a stale "BATCH{N} COMPLETE" from a previous run would release all
+# follower batches immediately (advisor finding r2)
+: > /tmp/v_progress.log
 
 run() {  # run <name> <timeout_s> <cmd...>
   local name=$1; shift

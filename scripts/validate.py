@@ -3,10 +3,11 @@
 Subcommands (run ONE at a time on the TPU — the tunnel serializes anyway):
   pick [fast|world] [n_seeds]   5-seed panda_pick sweep (reference success:
                                 ||block-goal|| < 0.2, omni_panda_pick/world.py:66-75)
-  omni [n_seeds]                omni_panda_pick (effort mode) sweep
+  omni [fast|world] [n_seeds]   omni_panda_pick (effort mode) sweep
   anymal [n_seeds]              anymal goal-reach episodes with gait prior
   suite                         one episode of every non-pick task
-Each prints one JSON line per episode and a final JSON summary.
+Each prints one JSON line per episode and a final JSON summary, and appends the
+summary to RESULTS_r{N}.json (versioned task-suite gate; set VALIDATE_ROUND).
 """
 from __future__ import annotations
 
@@ -32,7 +33,7 @@ def _summ(results):
         "episodes": len(results),
         "successes": len(ok),
         "success_seeds": ok,
-        "steps": {s: m.success_step for s, m in results.items()},
+        "success_steps": {s: m.success_step for s, m in results.items()},
         # median, not mean: the first chunk of the first episode carries the
         # jit compile and would dominate a mean
         "median_ms_per_step": round(
@@ -40,6 +41,30 @@ def _summ(results):
                 [t for m in results.values() for t in m.solver_time] or [0.0]
             )) * 1e3, 2),
     }
+
+
+def _record(kind, summary):
+    """Versioned task-suite gate: append this run's summary to the committed
+    RESULTS_r{N}.json so red→green diffs are visible in-tree every round
+    (round-2 verdict: results lived only in /tmp and died with the machine)."""
+    rnd = os.environ.get("VALIDATE_ROUND", "3")
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        f"RESULTS_r{rnd}.json")
+    doc = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            doc = json.load(f)
+    doc[kind] = summary
+    with open(path, "w") as f:
+        json.dump(doc, f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(f"RECORDED {kind} -> {path}", flush=True)
+
+
+def _fidelity(arg):
+    if arg not in ("fast", "world"):
+        raise SystemExit(f"fidelity must be 'fast' or 'world', got {arg!r}")
+    return arg
 
 
 def pick(fidelity="fast", n_seeds=5, task="panda_pick", substeps=""):
@@ -57,7 +82,7 @@ def pick(fidelity="fast", n_seeds=5, task="panda_pick", substeps=""):
         from mppiisaac_tpu.tasks.omni_panda_pick import OmniPandaPickObjective as Obj
 
         block = "block"
-    over = [f"mppi.rollout_fidelity={'world' if fidelity == 'world' else 'fast'}"]
+    over = [f"mppi.rollout_fidelity={_fidelity(fidelity)}"]
     if substeps:
         over.append(f"mppi.rollout_substeps={substeps}")
     cfg = load_config(f"tasks/{task}", over)
@@ -79,6 +104,7 @@ def pick(fidelity="fast", n_seeds=5, task="panda_pick", substeps=""):
     s["wall_s"] = round(time.perf_counter() - t0, 1)
     print("SUMMARY " + json.dumps(s))
     print(f"SUCCESS {s['successes']}/{s['episodes']}")
+    _record(f"{task}:{fidelity}:{substeps or 'world-match'}", s)
     return s
 
 
@@ -101,11 +127,6 @@ def anymal(n_seeds=3):
         goal = np.asarray(v.actor_position("goal"))[0, :2]
         return float(np.linalg.norm(body - goal)) < 0.3
 
-    def diag(world):
-        v = world.view
-        body = np.asarray(v.link_position("base", "anymal"))[0]
-        return body
-
     t0 = time.perf_counter()
     results = run_task_episodes(
         cfg, obj, seeds=list(range(int(n_seeds))), prior=prior,
@@ -116,6 +137,7 @@ def anymal(n_seeds=3):
     s["wall_s"] = round(time.perf_counter() - t0, 1)
     print("SUMMARY " + json.dumps(s))
     print(f"SUCCESS {s['successes']}/{s['episodes']}")
+    _record("anymal", s)
     return s
 
 
@@ -156,6 +178,7 @@ def suite():
     n_ok = sum(1 for v in out.values() if v.get("success_step") is not None)
     print("SUMMARY " + json.dumps(out))
     print(f"SUCCESS {n_ok}/{len(out)}")
+    _record("suite", out)
     return out
 
 
