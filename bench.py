@@ -34,11 +34,11 @@ def main():
 
     import jax
 
-    # persistent compile cache: the fused rollout kernel compiles once per
-    # machine (~1-5 min cold), then loads in seconds
-    os.makedirs("/root/repo/.jax_cache", exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+    # persistent compile cache: configured by the package import itself
+    # (mppiisaac_tpu/__init__.py → ~/.cache/mppiisaac_tpu/jax, threshold 0).
+    # Do NOT override dir/threshold here: round 2 pointed this at a second
+    # cache dir with a 10 s threshold that the axon backend's ~0 s locally
+    # measured compile times never crossed — every run recompiled cold.
 
     from mppiisaac_tpu.planner.mppi_isaac import MPPIisaacPlanner
     from mppiisaac_tpu.tasks.panda_pick import PandaPickObjective

@@ -26,7 +26,11 @@ def _enable_persistent_compile_cache():
 
         _os.makedirs(loc, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", loc)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # threshold 0: on tunneled backends (axon) XLA compilation is deferred
+        # to the remote server, so the LOCALLY measured compile time is ~0-1 s
+        # even for minutes-long compiles — any positive threshold silently
+        # filters out every write (round-2 warmup regression)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     except Exception:
         pass
 

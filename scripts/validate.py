@@ -17,14 +17,13 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-os.makedirs("/root/repo/.jax_cache", exist_ok=True)
 
 
 def _jax_cache():
-    import jax
-
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+    # persistent compile cache is configured by the mppiisaac_tpu package
+    # import (threshold 0 — the axon backend reports ~0 s local compile time,
+    # so any positive threshold filters out every write); nothing to do here
+    pass
 
 
 def _summ(results):

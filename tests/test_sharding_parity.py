@@ -1,0 +1,149 @@
+"""Sharded-vs-single-device COST PARITY on a contact scene (round-1 item 6 /
+round-2 verdict item 7 done-criterion).
+
+With halton sampling the sharded solver draws the same global noise set
+(global K-point Halton table sliced per shard, same Cranley–Patterson shift),
+and special samples (null action / prior tape) are injected on exactly one
+shard — so the sharded command must reproduce the single-device command's
+per-sample costs and action to float tolerance, fused Pallas kernel included.
+
+Runs on the 8-virtual-CPU-device mesh (conftest), fused kernels in interpret
+mode on the mini grasp scene (a real contact problem: position-drive gripper +
+free ball, impulse coupling)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 devices")
+
+N_DEV = 4
+K = 16
+H = 2
+
+
+class _BallObj:
+    """Contact-driven cost: hold the ball at z=0.5 (touches the gripper)."""
+
+    def reset(self):
+        pass
+
+    def compute_cost(self, view):
+        return jnp.abs(view.actor_position("ball")[..., 2] - 0.5)
+
+    def kernel_cost(self, scene):
+        def fn(view, t):
+            return jnp.abs(view.actor_pos("ball")[2] - 0.5)
+
+        return fn
+
+
+def _grasp_planner(use_fused, sample_null=True):
+    from mppiisaac_tpu.planner.mppi_isaac import MPPIisaacPlanner
+    from mppiisaac_tpu.utils.config_store import load_config
+
+    cfg = load_config(
+        "tasks/point_robot",
+        [
+            f"mppi.num_samples={K}",
+            f"mppi.horizon={H}",
+            "nx=4",
+            "mppi.sampling_method=halton",
+            f"mppi.sample_null_action={sample_null}",
+        ],
+    )
+    cfg.actors = [
+        dict(type="robot", name="mini_gripper", fixed=True,
+             gripper_binarize=True, init_pos=[0.0, 0.0, 0.5]),
+        dict(type="sphere", name="ball", size=[0.02], mass=0.005,
+             init_pos=[0.0, 0.0, 0.53], friction=1.0),
+    ]
+    return MPPIisaacPlanner(cfg, _BallObj(), randomize=False, use_fused=use_fused)
+
+
+def test_sharded_fused_cost_parity_contact_scene():
+    from mppiisaac_tpu.parallel.sharding import (
+        make_mesh,
+        shard_batched_state,
+        sharded_command,
+    )
+
+    gp = _grasp_planner(use_fused=False)  # single-device ref uses fused below
+    # single device, fused kernel over all K lanes
+    fused_factory = gp.fused_factory()
+    from mppiisaac_tpu.mppi.solver import MPPIPlanner
+
+    single = MPPIPlanner(
+        gp.cfg.mppi, gp.cfg.nx,
+        dynamics=gp.mppi.dynamics, running_cost=gp.mppi.running_cost,
+        vis_fn=gp.mppi.vis_fn, fused=fused_factory(K),
+    )
+    state_K = (gp.sim.state, gp._params_K)
+    a1, c1, info1 = jax.jit(single._command_impl)(single.carry, state_K)
+
+    # sharded: same solver config, fused kernel per shard over K/N_DEV lanes
+    mesh = make_mesh(N_DEV)
+    cmd = sharded_command(gp.mppi, mesh, fused_factory=fused_factory)
+    state_sh = shard_batched_state(state_K, mesh)
+    a2, c2, info2 = cmd(gp.mppi.carry, state_sh)
+
+    costs1 = np.asarray(info1["costs"])
+    costs2 = np.asarray(info2["costs"])
+    assert costs1.shape == costs2.shape == (K,)
+    # per-sample rollout costs: identical physics per lane, so tight
+    np.testing.assert_allclose(costs2, costs1, rtol=2e-4, atol=2e-4)
+    # action: psum reduction order differs from the single jnp.sum
+    np.testing.assert_allclose(np.asarray(a2), np.asarray(a1), rtol=1e-4, atol=1e-4)
+    # U carried forward must match too (same softmax weights)
+    np.testing.assert_allclose(
+        np.asarray(c2.U), np.asarray(c1.U), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_sharded_tape_prior_parity():
+    """tape_prior must ride the sharded path (round-2 verdict Missing #5: it
+    was silently dropped) and produce the single-device result: the tape
+    sample lands on global index K-2 exactly once."""
+    from mppiisaac_tpu.mppi.config import MPPIConfig
+    from mppiisaac_tpu.mppi.solver import MPPIPlanner
+    from mppiisaac_tpu.parallel.sharding import (
+        make_mesh,
+        shard_batched_state,
+        sharded_command,
+    )
+
+    goal = jnp.array([2.0, -1.0])
+    nu = 2
+
+    def dynamics(st, u, t):
+        return st + u * 0.1
+
+    def cost(st, t):
+        return jnp.sum((st - goal) ** 2)
+
+    def tape_prior(state_single, t0):
+        # time-indexed tape toward the goal, phase-shifted by t0 (the gait
+        # prior's form: planner/priors.py QuadrupedGaitPrior)
+        ph = (jnp.arange(H8) + t0).astype(jnp.float32)
+        d = goal - state_single
+        return jnp.tanh(d)[None, :] * (0.5 + 0.5 * jnp.cos(0.3 * ph))[:, None]
+
+    H8 = 8
+    cfg = MPPIConfig(
+        num_samples=K, horizon=H8, mppi_mode="halton-spline",
+        sampling_method="halton", noise_sigma=[[0.4, 0.0], [0.0, 0.4]],
+        u_min=[-1], u_max=[1], lambda_=0.1, use_priors=True,
+        sample_null_action=True,
+    )
+    single = MPPIPlanner(cfg, nu, dynamics, cost, tape_prior=tape_prior)
+    state0 = jnp.broadcast_to(jnp.zeros(2), (K, 2))
+    a1, c1, info1 = jax.jit(single._command_impl)(single.carry, state0)
+
+    mesh = make_mesh(N_DEV)
+    cmd = sharded_command(single, mesh)
+    a2, c2, info2 = cmd(single.carry, shard_batched_state(state0, mesh))
+
+    np.testing.assert_allclose(
+        np.asarray(info2["costs"]), np.asarray(info1["costs"]), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(np.asarray(a2), np.asarray(a1), rtol=1e-5, atol=1e-5)
