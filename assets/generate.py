@@ -166,6 +166,105 @@ def franka_urdf(gripper: bool) -> str:
     return "".join(out)
 
 
+# ---------------------------------------------------------------------------
+# generic procedural-robot → mesh-collision URDF emitter (reference layout)
+# ---------------------------------------------------------------------------
+
+
+def _quat_to_rpy(q):
+    """xyzw quat → URDF rpy (extrinsic XYZ)."""
+    x, y, z, w = (float(v) for v in q)
+    roll = np.arctan2(2 * (w * x + y * z), 1 - 2 * (x * x + y * y))
+    pitch = np.arcsin(np.clip(2 * (w * y - z * x), -1.0, 1.0))
+    yaw = np.arctan2(2 * (w * z + x * y), 1 - 2 * (y * y + z * z))
+    return (roll, pitch, yaw)
+
+
+def emit_mesh_urdf(robot_name: str, urdf_rel: str, mesh_rel_prefix: str):
+    """Write assets/urdf/<urdf_rel> with per-link MESH collision elements
+    tessellated from the procedural model's primitives (the reference ships
+    mesh-collision URDFs in exactly this layout, e.g.
+    `/root/reference/assets/urdf/albert/albert.urdf`,
+    `anymal_c/urdf/anymal.urdf` — loader `isaacgym_utils.py:14-58`). The
+    procedural model stays in scene/robots.py as the test oracle; tasks load
+    THESE files through parse_urdf(path, mesh_fit=csrc/meshfit)."""
+    from mppiisaac_tpu.physics.urdf import (
+        GEOM_BOX, GEOM_CAPSULE, GEOM_SPHERE, JOINT_FIXED, JOINT_PRISMATIC,
+        JOINT_REVOLUTE, parse_urdf,
+    )
+    from mppiisaac_tpu.scene.robots import robot_urdf
+
+    spec = parse_urdf(robot_urdf(robot_name))
+    urdf_path = os.path.join(HERE, "urdf", urdf_rel)
+    urdf_dir = os.path.dirname(urdf_path)
+    mesh_dir = os.path.normpath(os.path.join(urdf_dir, mesh_rel_prefix))
+    os.makedirs(urdf_dir, exist_ok=True)
+    os.makedirs(mesh_dir, exist_ok=True)
+
+    out = [f'<robot name="{spec.name}">\n']
+    # document order: root link first, then joints in spec order
+    link_order = [spec.root_link] + [j.child for j in spec.joints]
+    for ln in link_order:
+        lk = spec.links[ln]
+        out.append(f'  <link name="{ln}">\n')
+        I = lk.inertia
+        out.append(
+            f'    <inertial><origin xyz="{lk.com[0]:.6g} {lk.com[1]:.6g} {lk.com[2]:.6g}"/>'
+            f'<mass value="{max(lk.mass, 1e-3):.6g}"/>'
+            f'<inertia ixx="{max(I[0][0], 1e-6):.6g}" iyy="{max(I[1][1], 1e-6):.6g}" '
+            f'izz="{max(I[2][2], 1e-6):.6g}" ixy="{I[0][1]:.6g}" ixz="{I[0][2]:.6g}" '
+            f'iyz="{I[1][2]:.6g}"/></inertial>\n'
+        )
+        for gi, g in enumerate(lk.geoms):
+            mesh_name = f"{ln}_{gi}.obj"
+            if g.gtype == GEOM_SPHERE:
+                obj = capsule_obj(float(g.size[0]), 0.0)
+            elif g.gtype == GEOM_CAPSULE:
+                obj = capsule_obj(float(g.size[0]), float(g.size[1]))
+            else:
+                obj = box_obj(float(g.size[0]), float(g.size[1]), float(g.size[2]))
+            with open(os.path.join(mesh_dir, mesh_name), "w") as f:
+                f.write(obj)
+            rpy = _quat_to_rpy(g.quat)
+            out.append(_mesh_collision(
+                f"{mesh_rel_prefix}/{mesh_name}",
+                (f"{g.pos[0]:.6g}", f"{g.pos[1]:.6g}", f"{g.pos[2]:.6g}"),
+                (f"{rpy[0]:.6g}", f"{rpy[1]:.6g}", f"{rpy[2]:.6g}"),
+            ))
+        out.append("  </link>\n")
+    for j in spec.joints:
+        wide = (j.upper - j.lower) > 60.0
+        if j.jtype == JOINT_FIXED:
+            jt = "fixed"
+        elif j.jtype == JOINT_PRISMATIC:
+            jt = "prismatic"
+        else:
+            jt = "continuous" if wide else "revolute"
+        rpy = _quat_to_rpy(j.origin_quat)
+        out.append(
+            f'  <joint name="{j.name}" type="{jt}">\n'
+            f'    <parent link="{j.parent}"/><child link="{j.child}"/>\n'
+            f'    <origin xyz="{j.origin_pos[0]:.6g} {j.origin_pos[1]:.6g} '
+            f'{j.origin_pos[2]:.6g}" rpy="{rpy[0]:.6g} {rpy[1]:.6g} {rpy[2]:.6g}"/>\n'
+        )
+        if jt != "fixed":
+            out.append(f'    <axis xyz="{j.axis[0]:.6g} {j.axis[1]:.6g} {j.axis[2]:.6g}"/>\n')
+            if jt != "continuous":
+                out.append(
+                    f'    <limit lower="{j.lower:.6g}" upper="{j.upper:.6g}" '
+                    f'effort="{j.effort:.6g}" velocity="{j.velocity:.6g}"/>\n'
+                )
+            else:
+                out.append(f'    <limit effort="{j.effort:.6g}" velocity="{j.velocity:.6g}"/>\n')
+            if j.damping or j.friction:
+                out.append(f'    <dynamics damping="{j.damping:.6g}" friction="{j.friction:.6g}"/>\n')
+        out.append("  </joint>\n")
+    out.append("</robot>\n")
+    with open(urdf_path, "w") as f:
+        f.write("".join(out))
+    print(f"wrote {urdf_path} (+{sum(len(spec.links[l].geoms) for l in link_order)} meshes)")
+
+
 def main():
     mesh_dir = os.path.join(HERE, "meshes")
     urdf_dir = os.path.join(HERE, "urdf")
@@ -185,6 +284,13 @@ def main():
     for gripper, name in ((False, "franka_panda.urdf"), (True, "franka_panda_gripper.urdf")):
         with open(os.path.join(urdf_dir, name), "w") as f:
             f.write(franka_urdf(gripper))
+
+    # reference-layout mesh-collision URDFs for the mobile robots (the
+    # reference asset tree: albert/albert.urdf, anymal_c/urdf/anymal.urdf,
+    # boxer/boxer.urdf — `isaacgym_utils.py:14-58`)
+    emit_mesh_urdf("albert", os.path.join("albert", "albert.urdf"), "meshes")
+    emit_mesh_urdf("anymal", os.path.join("anymal_c", "urdf", "anymal.urdf"), "../meshes")
+    emit_mesh_urdf("boxer", os.path.join("boxer", "boxer.urdf"), "meshes")
     print(f"wrote assets under {HERE}")
 
 

@@ -199,8 +199,97 @@ int meshfit_file(const char* path, double sx, double sy, double sz,
   for (int k = 0; k < 3; ++k)
     for (int i = 0; i < 3; ++i) ctr[i] += ctr_p[k] * axes[k][i];
 
+  // ---- primitive selection by FIT ERROR, not just elongation ----
+  // A capsule/sphere vertex cloud has the exact property that every vertex
+  // lies at CONSTANT distance from the core segment (capsule) / center
+  // (sphere). Measure that spread for a sphere fit and a capsule fit about
+  // each principal axis; only when all of them fail fall back to a box.
+  // (Elongation alone mis-fits spheres and short capsules — wheels, feet —
+  // as boxes, whose corners then catch the ground.)
+  double sph_lo = 1e30, sph_hi = 0.0;
+  for (const auto& v : verts) {
+    double d[3] = {v.x - ctr[0], v.y - ctr[1], v.z - ctr[2]};
+    double r = sqrt(d[0] * d[0] + d[1] * d[1] + d[2] * d[2]);
+    if (r < sph_lo) sph_lo = r;
+    if (r > sph_hi) sph_hi = r;
+  }
+  int best_axis = -1;
+  double best_spread = 1e30, best_r = 0.0, best_hl = 0.0;
+  for (int k = 0; k < 3; ++k) {
+    // radius = max radial distance from axis k (exact for the wall verts)
+    double rk = 0.0;
+    int k1 = (k + 1) % 3, k2 = (k + 2) % 3;
+    for (const auto& v : verts) {
+      double d[3] = {v.x - ctr[0], v.y - ctr[1], v.z - ctr[2]};
+      double pr1 = d[0] * axes[k1][0] + d[1] * axes[k1][1] + d[2] * axes[k1][2];
+      double pr2 = d[0] * axes[k2][0] + d[1] * axes[k2][1] + d[2] * axes[k2][2];
+      double rr = sqrt(pr1 * pr1 + pr2 * pr2);
+      if (rr > rk) rk = rr;
+    }
+    double hlk = fmax(he[k] - rk, 0.0);
+    double lo_d = 1e30, hi_d = 0.0;
+    for (const auto& v : verts) {
+      double d[3] = {v.x - ctr[0], v.y - ctr[1], v.z - ctr[2]};
+      double pa = d[0] * axes[k][0] + d[1] * axes[k][1] + d[2] * axes[k][2];
+      double pr1 = d[0] * axes[k1][0] + d[1] * axes[k1][1] + d[2] * axes[k1][2];
+      double pr2 = d[0] * axes[k2][0] + d[1] * axes[k2][1] + d[2] * axes[k2][2];
+      double ax = fmax(fabs(pa) - hlk, 0.0);
+      double ds = sqrt(pr1 * pr1 + pr2 * pr2 + ax * ax);
+      if (ds < lo_d) lo_d = ds;
+      if (ds > hi_d) hi_d = ds;
+    }
+    if (hi_d - lo_d < best_spread) {
+      best_spread = hi_d - lo_d;
+      best_axis = k;
+      best_r = rk;
+      best_hl = hlk;
+    }
+  }
+  double kind;
+  double p0, p1, p2;
+  double cross = fmax(he[1], he[2]);
+  // surface-exact fits first (tessellated primitive meshes); volumetric
+  // clouds (scanned/decimated meshes) fall back to the elongation heuristic
+  bool sphere_exact = (sph_hi - sph_lo <= 0.08 * fmax(sph_hi, 1e-6));
+  bool capsule_exact = (best_spread <= 0.08 * fmax(best_r, 1e-6));
+  if (capsule_exact && sphere_exact)
+    // both pass (short capsule ≈ sphere): prefer the tighter description
+    sphere_exact = (sph_hi - sph_lo) <= best_spread;
+  bool capsule_elong = (he[0] >= 2.0 * cross && rmax <= 1.1 * cross);
+  if (sphere_exact) {
+    kind = 0.0;  // sphere
+    p0 = sph_hi;
+    p1 = 0.0;
+    p2 = 0.0;
+  } else if (!capsule_exact && capsule_elong) {
+    kind = 2.0;  // elongated volumetric rod → capsule about major axis
+    p0 = rmax;
+    p1 = fmax(he[0] - rmax, 1e-4);
+    p2 = 0.0;
+  } else if (capsule_exact) {
+    kind = 2.0;  // capsule about principal axis best_axis
+    p0 = best_r;
+    p1 = fmax(best_hl, 1e-4);
+    p2 = 0.0;
+    if (best_axis != 0) {
+      // re-point the local z (capsule axis) at the winning principal axis by
+      // swapping rows of `axes` before the quaternion is derived — easiest is
+      // to rebuild R below from a reordered axes[]; do the swap here
+      double tmp[3];
+      for (int i = 0; i < 3; ++i) tmp[i] = axes[0][i];
+      for (int i = 0; i < 3; ++i) axes[0][i] = axes[best_axis][i];
+      for (int i = 0; i < 3; ++i) axes[best_axis][i] = tmp[i];
+    }
+  } else {
+    kind = 1.0;  // box: half extents ordered (x=major... local frame z=major)
+    p0 = he[1];
+    p1 = he[2];
+    p2 = he[0];
+  }
+
   // rotation matrix (columns = principal axes, capsule axis = local z →
-  // use axes[0] as z) → quaternion
+  // use axes[0] as z; for a capsule fit axes[0] was swapped to the winning
+  // axis above) → quaternion
   double R[3][3];
   for (int i = 0; i < 3; ++i) {
     R[i][0] = axes[1][i];
@@ -233,24 +322,6 @@ int meshfit_file(const char* path, double sx, double sy, double sz,
     qx = (R[0][2] + R[2][0]) / s;
     qy = (R[1][2] + R[2][1]) / s;
     qz = 0.25 * s;
-  }
-
-  // choose capsule when elongated (major ≥ 2× cross-section), else box
-  double kind;
-  double p0, p1, p2;
-  double cross = fmax(he[1], he[2]);
-  // capsule only when elongated AND the cross-section is circular: for a
-  // capsule rmax ≈ cross, while a flat box has rmax = √(he1²+he2²) > cross
-  if (he[0] >= 2.0 * cross && rmax <= 1.1 * cross) {
-    kind = 2.0;  // capsule
-    p0 = rmax;
-    p1 = fmax(he[0] - rmax, 1e-4);
-    p2 = 0.0;
-  } else {
-    kind = 1.0;  // box: half extents ordered (x=major... local frame z=major)
-    p0 = he[1];
-    p1 = he[2];
-    p2 = he[0];
   }
 
   out[0] = kind;

@@ -1315,23 +1315,44 @@ def dynamics_lanes(scene, masks_list, state, pos, quat, linv, angv, axis_w,
 
 
 def substep_lanes(scene, tables, masks_list, state, fric_scale, mass_scale, dt,
-                  impulse_sweeps=2, world_fidelity=False):
+                  impulse_sweeps=2, world_fidelity=False,
+                  skip_contacts=False, skip_dynamics=False):
     """One full substep; returns (new_state, LaneView of the pre-integration
-    snapshot with contact forces — used by cost terms after the last substep)."""
+    snapshot with contact forces — used by cost terms after the last substep).
+
+    skip_contacts / skip_dynamics: PROFILING ablations only (scripts/
+    profile_kernel.py) — they produce physically wrong states but isolate the
+    per-phase VPU cost of the narrowphase+penalty section and the articulated
+    solve + GS sweeps."""
+    B = scene.nbody
     pos, quat, linv, angv, axis_w = fk_lanes(scene, state)
-    plk_n, plk_f, net_cf, free_cands = contacts_lanes(
-        scene, tables, pos, quat, linv, angv, fric_scale, dt
-    )
-    new_state = dynamics_lanes(
-        scene, masks_list, state, pos, quat, linv, angv, axis_w,
-        plk_n, plk_f, mass_scale, dt,
-        # candidates always flow: couple contacts are solved IMPLICITLY in the
-        # velocity solve even in penalty-only mode (impulse_sweeps=0 only
-        # disables the GS sweeps)
-        free_cands=free_cands,
-        impulse_sweeps=impulse_sweeps, fric_scale=fric_scale,
-        world_fidelity=world_fidelity,
-    )
+    if skip_contacts:
+        zero3 = (0.0, 0.0, 0.0)
+        plk_n, plk_f, net_cf, free_cands = (
+            [zero3] * B, [zero3] * B, [zero3] * B, [],
+        )
+    else:
+        plk_n, plk_f, net_cf, free_cands = contacts_lanes(
+            scene, tables, pos, quat, linv, angv, fric_scale, dt
+        )
+    if skip_dynamics:
+        # ballistic integrate of free roots only — isolates FK+contacts cost
+        new_state = dict(state)
+        new_state["root_pos"] = [
+            L.fma3(state["root_pos"][a], state["root_linvel"][a], dt)
+            for a in range(scene.nactor)
+        ]
+    else:
+        new_state = dynamics_lanes(
+            scene, masks_list, state, pos, quat, linv, angv, axis_w,
+            plk_n, plk_f, mass_scale, dt,
+            # candidates always flow: couple contacts are solved IMPLICITLY in
+            # the velocity solve even in penalty-only mode (impulse_sweeps=0
+            # only disables the GS sweeps)
+            free_cands=free_cands,
+            impulse_sweeps=impulse_sweeps, fric_scale=fric_scale,
+            world_fidelity=world_fidelity,
+        )
     new_state["net_cf"] = net_cf
     return new_state
 

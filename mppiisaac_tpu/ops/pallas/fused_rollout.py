@@ -85,7 +85,12 @@ class FusedRollout:
         controls_dtype=jnp.bfloat16,
         world_fidelity: bool = True,
         substeps: Optional[int] = None,
+        profile: Optional[dict] = None,
     ):
+        # profile: optional per-phase ablation flags for scripts/
+        # profile_kernel.py — {"skip_contacts": bool, "skip_dynamics": bool,
+        # "zero_cost": bool}. Physically wrong; timing only.
+        self.profile = profile or {}
         # controls ride in VMEM for the whole rollout — (H,nu,8G,128) f32 can
         # push the kernel past the 16 MB VMEM budget; bf16 perturbations lose
         # <0.5% of noise resolution and halve that buffer
@@ -209,6 +214,8 @@ class FusedRollout:
                     scene, tables, self.masks_list, s2, fric_tiles, mass_tiles, dt_sub,
                     impulse_sweeps=self.impulse_sweeps,
                     world_fidelity=self.world_fidelity,
+                    skip_contacts=self.profile.get("skip_contacts", False),
+                    skip_dynamics=self.profile.get("skip_dynamics", False),
                 )
                 rows = self._pack(s2)
                 if n_fc:
@@ -225,6 +232,12 @@ class FusedRollout:
             arr = jax.lax.fori_loop(0, substeps, sub_body, self._pack_full(st, arr))
 
             # cost on the post-step state
+            if self.profile.get("zero_cost", False):
+                # profiling ablation: skip the cost section's FK + view + cost
+                # entirely to isolate its share of the kernel
+                cost_ref[t] = jnp.zeros((8, 128), jnp.float32)
+                vis_ref[t] = jnp.zeros((3, 8, 128), jnp.bfloat16)
+                return arr
             stf = self._unpack(arr)
             pos, quat, linv, angv, _ = fk_lanes(scene, stf)
             view = LaneView(

@@ -12,7 +12,7 @@ from typing import Optional
 
 import numpy as np
 
-from ..physics.urdf import GEOM_BOX, GEOM_CAPSULE, UrdfGeom
+from ..physics.urdf import GEOM_BOX, GEOM_CAPSULE, GEOM_SPHERE, UrdfGeom
 from ..ops import native
 
 
@@ -32,6 +32,10 @@ def mesh_fit(path: str, scale, origin_pos, origin_quat) -> Optional[UrdfGeom]:
     q = np.asarray(quat_mul(oq, jnp.asarray(fit["quat"], jnp.float32)))
     if fit["kind"] == 2:
         return UrdfGeom(GEOM_CAPSULE, np.array([fit["params"][0], fit["params"][1], 0.0]), p, q)
+    if fit["kind"] == 0:
+        # sphere (wheels' rolling contact and quadruped feet must NOT become
+        # boxes — corners catch the ground)
+        return UrdfGeom(GEOM_SPHERE, np.array([fit["params"][0], 0.0, 0.0]), p, q)
     return UrdfGeom(GEOM_BOX, np.asarray(fit["params"]), p, q)
 
 

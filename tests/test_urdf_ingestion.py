@@ -73,6 +73,72 @@ def test_asset_fk_matches_procedural(tmp_path):
         assert np.allclose(a, b, atol=1e-3), (q7, a, b)
 
 
+@needs_assets
+@pytest.mark.parametrize(
+    "robot,urdf_rel,probe_link",
+    [
+        ("albert", "albert/albert.urdf", "mmrobot_link7"),
+        ("anymal", "anymal_c/urdf/anymal.urdf", "LF_KFE"),
+        ("boxer", "boxer/boxer.urdf", "ee_link"),
+    ],
+)
+def test_mobile_asset_roundtrip(robot, urdf_rel, probe_link):
+    """Reference-layout mesh-collision URDFs (albert / anymal_c / boxer —
+    `/root/reference/assets/urdf/albert/albert.urdf`,
+    `mppiisaac/utils/isaacgym_utils.py:14-58`) ingest through
+    parse_urdf(path, mesh_fit=csrc/meshfit) and reproduce the procedural
+    oracle: same joint structure, same FK, primitive fits within tolerance."""
+    from mppiisaac_tpu.physics.urdf import parse_urdf
+    from mppiisaac_tpu.scene.assets import load_urdf_file
+    from mppiisaac_tpu.scene.robots import robot_urdf
+
+    path = os.path.join(REPO, "assets", "urdf", *urdf_rel.split("/"))
+    rs = load_urdf_file(path)
+    oracle = parse_urdf(robot_urdf(robot))
+
+    # identical joint structure (names, types, parents, limits)
+    assert [j.name for j in rs.joints] == [j.name for j in oracle.joints]
+    for ja, jb in zip(rs.joints, oracle.joints):
+        assert ja.jtype == jb.jtype, ja.name
+        assert ja.parent == jb.parent and ja.child == jb.child
+        assert np.allclose(ja.origin_pos, jb.origin_pos, atol=1e-5), ja.name
+        assert np.allclose(ja.axis, jb.axis, atol=1e-5), ja.name
+
+    # every oracle collision produced a fitted primitive of sane size
+    for ln, lk in oracle.links.items():
+        assert len(rs.links[ln].geoms) == len(lk.geoms), ln
+        for ga, gb in zip(rs.links[ln].geoms, lk.geoms):
+            # size agreement: boxes up to PCA axis ordering; otherwise the
+            # radius (fit may change type, e.g. sphere → short capsule)
+            from mppiisaac_tpu.physics.urdf import GEOM_BOX
+
+            if ga.gtype == GEOM_BOX and gb.gtype == GEOM_BOX:
+                a_s = sorted(float(v) for v in ga.size)
+                b_s = sorted(float(v) for v in gb.size)
+                assert np.allclose(a_s, b_s, atol=0.02), (ln, a_s, b_s)
+            else:
+                assert abs(float(ga.size[0]) - float(gb.size[0])) < 0.02, ln
+
+    # FK through the full engine at a bent configuration
+    from mppiisaac_tpu.runtime.sim import Simulation
+    from mppiisaac_tpu.scene.actor import ActorSpec
+    from mppiisaac_tpu.scene.builder import SimConfig
+
+    def probe(urdf_file):
+        spec = ActorSpec(type="robot", name=robot, fixed=True,
+                         urdf_file=urdf_file)
+        sim = Simulation(SimConfig(dt=0.05, substeps=1), [spec], num_envs=1)
+        nd = sim.scene.ndof
+        ds = np.zeros((nd, 2), np.float32)
+        ds[:, 0] = 0.3 * np.sin(np.arange(nd))
+        sim.set_dof_state(ds)
+        return np.asarray(sim.view.link_position(probe_link, robot))[0]
+
+    a = probe(urdf_rel)
+    b = probe(robot)
+    assert np.allclose(a, b, atol=1e-3), (a, b)
+
+
 def test_missing_inertial_derived_from_geometry():
     """Importer parity: links without <inertial> get density-derived
     mass/COM/inertia from their collision primitives."""
