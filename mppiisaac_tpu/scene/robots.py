@@ -397,9 +397,31 @@ def mini_gripper() -> str:
     return u.xml()
 
 
+def mini_gripper_rail() -> str:
+    """mini_gripper on a prismatic x-rail (3 DOF): the smallest scene that can
+    GRASP AND TRANSPORT a free object — the grasp-parity test vector for the
+    fused kernel (interpret-mode candidate counts stay tiny)."""
+    u = U("mini_gripper_rail")
+    u.link("world")
+    u.link("carriage", mass=2.0, inertia=(0.01, 0.01, 0.01))
+    u.joint("rail_x", "prismatic", "world", "carriage", xyz=(0, 0, 0),
+            axis=(1, 0, 0), lower=-2.0, upper=2.0, effort=200.0, velocity=2.0)
+    u.link("hand", mass=0.5,
+           geoms=[("box", (0.04, 0.1, 0.03), (0, 0, 0.1), (0, 0, 0))])
+    u.joint("hand_joint", "fixed", "carriage", "hand")
+    for fi, sy in (("1", 1), ("2", -1)):
+        u.link(f"finger{fi}", mass=0.015,
+               geoms=[("box", (0.03, 0.012, 0.04), (0, 0, -0.04), (0, 0, 0))])
+        u.joint(f"finger_joint{fi}", "prismatic", "hand", f"finger{fi}",
+                xyz=(0, sy * 0.0, 0.07), axis=(0, sy, 0),
+                lower=0.0, upper=0.05, effort=20, velocity=0.2)
+    return u.xml()
+
+
 ROBOTS = {
     "point_robot": point_robot,
     "mini_gripper": mini_gripper,
+    "mini_gripper_rail": mini_gripper_rail,
     "heijn": heijn,
     "boxer": boxer,
     "jackal": jackal,
