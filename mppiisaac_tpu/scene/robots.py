@@ -80,14 +80,15 @@ class U:
 # ---------------------------------------------------------------------------
 
 
-def _planar_base(u: U, prefix="", effort=87.0, chassis_geoms=None, extent=50.0):
+def _planar_base(u: U, prefix="", effort=87.0, chassis_geoms=None, extent=50.0,
+                 mass=10.0, inertia=(1.0, 1.0, 1.0)):
     u.link("world")
     u.link(f"{prefix}base_link_x", mass=1.0)
     u.link(f"{prefix}base_link_y", mass=1.0)
     u.link(
         f"{prefix}base_link",
-        mass=10.0,
-        inertia=(1.0, 1.0, 1.0),
+        mass=mass,
+        inertia=inertia,
         geoms=chassis_geoms or [],
     )
     u.joint(f"{prefix}mobile_joint_x", "prismatic", "world", f"{prefix}base_link_x",
@@ -300,6 +301,9 @@ def omni_panda() -> str:
         u, effort=300.0,
         chassis_geoms=[("box", (0.5, 0.5, 0.3), (0, 0, 0.12), (0, 0, 0))],
         extent=50.0,
+        # reference omniPandaWithGripper.urdf base_link: 20 kg, izz=0.4 —
+        # effort-mode base response (±80 N / sigma 20) depends on this inertia
+        mass=20.0, inertia=(0.2933, 0.2933, 0.4),
     )
     _panda_arm(u, prefix="panda", root_parent="base_link", root_xyz=(0, 0, 0.3))
     # gripper

@@ -12,21 +12,25 @@ from .common import contact_force_mag, ee_upright_cost, norm
 
 class OmniPandaPickObjective(Objective):
     def __init__(self, cfg=None):
+        # weights/targets are the reference's behavioral spec
+        # (examples/omni_panda_pick/planner.py:12-25): comfy_gripper_state
+        # [0.025, 0.025] @ w=200 prefers fingers closed onto the 4 cm block
+        # (grip q=0.02 each) over open (0.04) or closed-empty (0.0)
         self.weights = {
             "robot_to_block": 10.0,
-            "block_to_goal": 10.0,
-            "collision": 2.0,
+            "block_to_goal": 4.0,
+            "collision": 0.1,
             "robot_ori": 1.0,
-            "base_vel": 0.05,
-            "arm_vel": 0.05,
-            "comfy_arm_pose": 0.2,
-            "comfy_gripper_state": 1.0,
-            "height_cost": 20.0,
+            "base_vel": 2.0,
+            "arm_vel": 0.1,
+            "comfy_arm_pose": 0.1,
+            "comfy_gripper_state": 200.0,
+            "height_cost": 10000.0,
         }
         self.comfy_arm_pose = jnp.asarray(
-            [0.0, -0.94, 0.0, -2.8, 0.0, 1.8675, 0.0], jnp.float32
+            [-1.57, -0.94, 0.0, -2.8, 0.0, 1.8675, 0.75], jnp.float32
         )
-        self.comfy_gripper_state = jnp.asarray([0.04, 0.04], jnp.float32)
+        self.comfy_gripper_state = jnp.asarray([0.025, 0.025], jnp.float32)
 
     def reset(self):
         pass

@@ -206,6 +206,7 @@ def one(task, *overrides):
         "wall_s": round(time.perf_counter() - t0, 1),
     }
     print("ONE " + json.dumps(out))
+    _record(f"one:{task}" + (":" + ",".join(overrides) if overrides else ""), out)
     return out
 
 
