@@ -180,7 +180,26 @@ def _quat_to_rpy(q):
     return (roll, pitch, yaw)
 
 
-def emit_mesh_urdf(robot_name: str, urdf_rel: str, mesh_rel_prefix: str):
+def _prim_collision(g, xyz, rpy) -> str:
+    from mppiisaac_tpu.physics.urdf import GEOM_CAPSULE, GEOM_SPHERE
+
+    if g.gtype == GEOM_SPHERE:
+        geom = f'<sphere radius="{float(g.size[0]):.6g}"/>'
+    elif g.gtype == GEOM_CAPSULE:
+        geom = (f'<capsule radius="{float(g.size[0]):.6g}" '
+                f'length="{2.0 * float(g.size[1]):.6g}"/>')
+    else:
+        geom = (f'<box size="{2 * float(g.size[0]):.6g} '
+                f'{2 * float(g.size[1]):.6g} {2 * float(g.size[2]):.6g}"/>')
+    return (
+        f'    <collision><origin xyz="{xyz[0]} {xyz[1]} {xyz[2]}" '
+        f'rpy="{rpy[0]} {rpy[1]} {rpy[2]}"/>'
+        f"<geometry>{geom}</geometry></collision>\n"
+    )
+
+
+def emit_mesh_urdf(robot_name: str, urdf_rel: str, mesh_rel_prefix: str,
+                   use_meshes: bool = True):
     """Write assets/urdf/<urdf_rel> with per-link MESH collision elements
     tessellated from the procedural model's primitives (the reference ships
     mesh-collision URDFs in exactly this layout, e.g.
@@ -199,7 +218,8 @@ def emit_mesh_urdf(robot_name: str, urdf_rel: str, mesh_rel_prefix: str):
     urdf_dir = os.path.dirname(urdf_path)
     mesh_dir = os.path.normpath(os.path.join(urdf_dir, mesh_rel_prefix))
     os.makedirs(urdf_dir, exist_ok=True)
-    os.makedirs(mesh_dir, exist_ok=True)
+    if use_meshes:
+        os.makedirs(mesh_dir, exist_ok=True)
 
     out = [f'<robot name="{spec.name}">\n']
     # document order: root link first, then joints in spec order
@@ -216,6 +236,15 @@ def emit_mesh_urdf(robot_name: str, urdf_rel: str, mesh_rel_prefix: str):
             f'iyz="{I[1][2]:.6g}"/></inertial>\n'
         )
         for gi, g in enumerate(lk.geoms):
+            rpy = _quat_to_rpy(g.quat)
+            xyz = (f"{g.pos[0]:.6g}", f"{g.pos[1]:.6g}", f"{g.pos[2]:.6g}")
+            rpy_s = (f"{rpy[0]:.6g}", f"{rpy[1]:.6g}", f"{rpy[2]:.6g}")
+            if not use_meshes:
+                # primitive collision elements, matching the reference's
+                # primitive-style URDFs (e.g. assets/urdf/heijn/heijn.urdf,
+                # point_robot.urdf have no mesh dir)
+                out.append(_prim_collision(g, xyz, rpy_s))
+                continue
             mesh_name = f"{ln}_{gi}.obj"
             if g.gtype == GEOM_SPHERE:
                 obj = capsule_obj(float(g.size[0]), 0.0)
@@ -225,12 +254,7 @@ def emit_mesh_urdf(robot_name: str, urdf_rel: str, mesh_rel_prefix: str):
                 obj = box_obj(float(g.size[0]), float(g.size[1]), float(g.size[2]))
             with open(os.path.join(mesh_dir, mesh_name), "w") as f:
                 f.write(obj)
-            rpy = _quat_to_rpy(g.quat)
-            out.append(_mesh_collision(
-                f"{mesh_rel_prefix}/{mesh_name}",
-                (f"{g.pos[0]:.6g}", f"{g.pos[1]:.6g}", f"{g.pos[2]:.6g}"),
-                (f"{rpy[0]:.6g}", f"{rpy[1]:.6g}", f"{rpy[2]:.6g}"),
-            ))
+            out.append(_mesh_collision(f"{mesh_rel_prefix}/{mesh_name}", xyz, rpy_s))
         out.append("  </link>\n")
     for j in spec.joints:
         wide = (j.upper - j.lower) > 60.0
@@ -291,6 +315,16 @@ def main():
     emit_mesh_urdf("albert", os.path.join("albert", "albert.urdf"), "meshes")
     emit_mesh_urdf("anymal", os.path.join("anymal_c", "urdf", "anymal.urdf"), "../meshes")
     emit_mesh_urdf("boxer", os.path.join("boxer", "boxer.urdf"), "meshes")
+    emit_mesh_urdf("jackal", os.path.join("jackal", "jackal.urdf"), "meshes")
+    emit_mesh_urdf("omni_panda",
+                   os.path.join("omni_panda", "omniPandaWithGripper.urdf"),
+                   "meshes")
+    # primitive-style URDFs — the reference ships these two WITHOUT meshes
+    # (assets/urdf/heijn/heijn.urdf, assets/urdf/point_robot.urdf)
+    emit_mesh_urdf("heijn", os.path.join("heijn", "heijn.urdf"), "meshes",
+                   use_meshes=False)
+    emit_mesh_urdf("point_robot", "point_robot.urdf", "meshes",
+                   use_meshes=False)
     print(f"wrote assets under {HERE}")
 
 

@@ -56,6 +56,7 @@ def run_task(
     verbose: bool = False,
     randomize: bool = True,
     device_steps: int = 1,
+    chunk_observer: Optional[Callable] = None,
 ) -> LoopMetrics:
     """success_fn(world: Simulation) -> bool; observer(step, world, action).
 
@@ -93,6 +94,7 @@ def run_task(
         return _run_chunked(
             cfg, world, planner, metrics, n, dt, device_steps,
             success_fn=success_fn, verbose=verbose,
+            chunk_observer=chunk_observer,
         )
 
     for step in range(n):
@@ -144,7 +146,7 @@ def run_task(
 
 def _run_chunked(
     cfg, world, planner, metrics, n, dt, device_steps,
-    success_fn=None, verbose=False, chunk_fns=None,
+    success_fn=None, verbose=False, chunk_fns=None, chunk_observer=None,
 ) -> LoopMetrics:
     """N control steps per host round-trip: scan(plan → apply → world-step)
     entirely on device, stacking each post-step world SimState; the host
@@ -177,6 +179,13 @@ def _run_chunked(
             if prev_pos is not None:
                 metrics.path_length += float(np.linalg.norm(rp - prev_pos))
             prev_pos = rp
+            if chunk_observer is not None:
+                # host-side observer on the stacked post-step states: per-step
+                # telemetry WITHOUT forcing the (minutes-to-compile on this
+                # backend) device_steps=1 loop — diagnostics reuse the cached
+                # chunked program
+                chunk_observer(step, _StateProxy(world, states_list[i]),
+                               actions_h[i])
             if success_fn is not None and metrics.success_step is None:
                 world_i = _StateProxy(world, states_list[i])
                 if success_fn(world_i):

@@ -49,8 +49,11 @@ def main(n_steps=600, seed=0, every=25):
         g = np.asarray(v.actor_position("goal"))[0]
         return float(np.linalg.norm(b - g)) < 0.2
 
+    # chunk_observer: per-step telemetry from the stacked chunk states —
+    # reuses the cached device_steps=16 program (the per-step observer path
+    # compiles a separate program; >15 min on this backend, diag timed out)
     m = run_task(cfg, obj, n_steps=int(n_steps), success_fn=success,
-                 observer=observer, device_steps=1)
+                 chunk_observer=observer, device_steps=16)
     print("success_step:", m.success_step, "steps:", m.steps)
 
 

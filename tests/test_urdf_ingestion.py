@@ -80,6 +80,12 @@ def test_asset_fk_matches_procedural(tmp_path):
         ("albert", "albert/albert.urdf", "mmrobot_link7"),
         ("anymal", "anymal_c/urdf/anymal.urdf", "LF_KFE"),
         ("boxer", "boxer/boxer.urdf", "ee_link"),
+        ("jackal", "jackal/jackal.urdf", "ee_link"),
+        ("omni_panda", "omni_panda/omniPandaWithGripper.urdf", "panda_hand"),
+        # primitive-style URDFs (no meshes — reference ships heijn.urdf and
+        # point_robot.urdf the same way); exercises the primitive parse path
+        ("heijn", "heijn/heijn.urdf", "front_link"),
+        ("point_robot", "point_robot.urdf", "base_link"),
     ],
 )
 def test_mobile_asset_roundtrip(robot, urdf_rel, probe_link):
