@@ -316,6 +316,8 @@ def main():
     emit_mesh_urdf("anymal", os.path.join("anymal_c", "urdf", "anymal.urdf"), "../meshes")
     emit_mesh_urdf("boxer", os.path.join("boxer", "boxer.urdf"), "meshes")
     emit_mesh_urdf("jackal", os.path.join("jackal", "jackal.urdf"), "meshes")
+    emit_mesh_urdf("husky", os.path.join("husky_description", "husky.urdf"),
+                   "meshes")
     emit_mesh_urdf("omni_panda",
                    os.path.join("omni_panda", "omniPandaWithGripper.urdf"),
                    "meshes")

@@ -861,48 +861,110 @@ def dynamics_lanes(scene, masks_list, state, pos, quat, linv, angv, axis_w,
             for aid in list(art_act_count):
                 art_act_count[aid] = jnp.maximum(art_act_count[aid], 1.0)
 
-        def _eff_inv_mass(c, d3):
-            """effective inverse mass along direction d3 (unit) — free sides'
-            linear+rotational terms plus the articulated side's joint-space
-            Ψ. MUST be evaluated per direction: reusing the normal's value
-            for the tangent under-counts the rotational coupling (e.g. 200
-            vs 605 for a pad-held sphere) and the resulting friction
-            overshoot diverges the GS spin channel. The NORMAL direction is
-            sweep-invariant (geometry, masses and Ψ are all fixed within a
-            substep), so k_n is computed once below and reused every sweep."""
+        def _inv_mass_matrix(c):
+            """3×3 contact-space inverse-mass matrix K: the effective inverse
+            mass along ANY unit direction d is dᵀKd — free sides contribute
+            1/m·I₃ + r̃ᵀ(I_w)⁻¹r̃ (r̃ = skew(p−com)), the articulated/static
+            side count·GᵀΨG with G = [p̃; I₃]. Geometry, masses and Ψ are all
+            fixed within a substep, so K is SWEEP-INVARIANT: computing it once
+            here replaces the old per-direction `_eff_inv_mass` recomputation
+            (~40-80 tile ops per candidate per sweep) with a 15-op quadratic
+            form in the sweep body — exact, not an approximation. (Reusing the
+            NORMAL's scalar for the tangent would under-count rotational
+            coupling — 200 vs 605 for a pad-held sphere — which is why the
+            full matrix is cached, not a scalar.)"""
             pt = c["geo"][0]
             is_sta_c = bool(c.get("a_sta") or c.get("b_sta"))
             is_cpl = (
                 bool(c.get("a_art") or c.get("b_art")) or is_sta_c
             ) and TWO_WAY_SWEEPS
             art_is_a = bool(c.get("a_art") or c.get("a_sta"))
-            k = 1e-9
+            K = [[1e-9 if i == j else 0.0 for j in range(3)] for i in range(3)]
             for b2, fr2 in ((c["ba"], c["a_free"]), (c["bb"], c["b_free"])):
                 if not fr2:
                     continue
                 r2 = L.sub3(pt, state["root_pos"][body2actor[b2]])
-                rxd = L.cross3(r2, d3)
-                Iw_rxd = tuple(
-                    sum(invIw[b2][i][j] * rxd[j] for j in range(3))
+                # skew(r): S[i][j]; columns have 2 nonzeros each
+                S = [
+                    [0.0, -r2[2], r2[1]],
+                    [r2[2], 0.0, -r2[0]],
+                    [-r2[1], r2[0], 0.0],
+                ]
+                Iw2 = invIw[b2]
+                # T = I_w⁻¹ · S  (exploit S's zeros)
+                T = [
+                    [sum(Iw2[i][k2] * S[k2][j] for k2 in range(3) if not isinstance(S[k2][j], float) or S[k2][j] != 0.0)
+                     for j in range(3)]
                     for i in range(3)
-                )
-                k = k + inv_m[b2] + L.dot3(rxd, Iw_rxd)
+                ]
+                for a in range(3):
+                    K[a][a] = K[a][a] + inv_m[b2]
+                    for b3 in range(a, 3):
+                        K[a][b3] = K[a][b3] + sum(
+                            S[i][a] * T[i][b3] for i in range(3)
+                            if not isinstance(S[i][a], float) or S[i][a] != 0.0
+                        )
             if is_cpl:
                 b2 = c["ba"] if art_is_a else c["bb"]
                 aid2 = body_actor_art[b2]
                 psi2 = art_ctx[aid2]["psi"][b2]
-                X6d = (*L.cross3(pt, d3), *d3)
-                pX = [sum(psi2[r][cc_] * X6d[cc_] for cc_ in range(6)) for r in range(6)]
-                # per-actor Jacobi splitting (see art_act_count)
-                k = k + art_act_count.get(aid2, 1.0) * sum(
-                    X6d[r] * pX[r] for r in range(6)
-                )
-            return k
+                cnt = art_act_count.get(aid2, 1.0)
+                P = [
+                    [0.0, -pt[2], pt[1]],
+                    [pt[2], 0.0, -pt[0]],
+                    [-pt[1], pt[0], 0.0],
+                ]
+                # V[r][b] = Σ_s Ψ[r][s]·G[s][b],  G = [P; I₃]
+                V = [
+                    [sum(psi2[r][s] * P[s][b3] for s in range(3)
+                         if not isinstance(P[s][b3], float) or P[s][b3] != 0.0)
+                     + psi2[r][3 + b3]
+                     for b3 in range(3)]
+                    for r in range(6)
+                ]
+                for a in range(3):
+                    for b3 in range(a, 3):
+                        gpg = sum(
+                            P[r][a] * V[r][b3] for r in range(3)
+                            if not isinstance(P[r][a], float) or P[r][a] != 0.0
+                        ) + V[3 + a][b3]
+                        K[a][b3] = K[a][b3] + cnt * gpg
+            for a in range(3):          # mirror the upper triangle
+                for b3 in range(a + 1, 3):
+                    K[b3][a] = K[a][b3]
+            # direction-independent floor = what the old per-direction code
+            # returned for a DEGENERATE (zero) direction: 1e-9 + Σ free-side
+            # 1/m. Real directions are unit vectors, for which dᵀKd ≥ floor
+            # automatically (the rotational/Ψ terms are PSD) — the floor only
+            # engages on zero normals (e.g. a box contact whose witness point
+            # sits exactly on the face-center symmetry plane: sign(0)=0 zeroes
+            # the normal), where quad=0 would otherwise divide to ±inf.
+            floor = 1e-9
+            for b2, fr2 in ((c["ba"], c["a_free"]), (c["bb"], c["b_free"])):
+                if fr2:
+                    floor = floor + inv_m[b2]
+            return K, floor
 
+        def _quad(Kf, d3):
+            """max(dᵀKd, floor) for (K, floor) from _inv_mass_matrix."""
+            K, floor = Kf
+            q = (
+                d3[0] * d3[0] * K[0][0]
+                + d3[1] * d3[1] * K[1][1]
+                + d3[2] * d3[2] * K[2][2]
+                + 2.0 * (
+                    d3[0] * d3[1] * K[0][1]
+                    + d3[0] * d3[2] * K[0][2]
+                    + d3[1] * d3[2] * K[1][2]
+                )
+            )
+            return jnp.maximum(q, floor)
+
+        K_cache = [_inv_mass_matrix(c) for c in free_cands]
         k_n_cache = [
             None if (c.get("a_sta") or c.get("b_sta"))
-            else _eff_inv_mass(c, c["geo"][1])
-            for c in free_cands
+            else _quad(K_cache[ci], c["geo"][1])
+            for ci, c in enumerate(free_cands)
         ]
 
         # ---- rolled sweep loop: the body compiles ONCE (lax.fori_loop) ----
@@ -919,47 +981,30 @@ def dynamics_lanes(scene, masks_list, state, pos, quat, linv, angv, axis_w,
             return x + zero_t if isinstance(x, float) else x
 
         def _pack_carry(rlv, rav, ln, lt, unew):
-            # velocities/generalized coords stay f32; the per-candidate λ
-            # accumulators (the bulk) ride bf16 — they are cone bounds/
-            # projections, 0.4% relative error is far below the solver's own
-            # convergence tolerance, and they dominate the fori carry's VMEM
-            # footprint (double-buffered by the loop). lt entries are
-            # 3-tuples (world_fidelity: exact vector cone) or scalar
-            # magnitudes (rollout kernel: VMEM-lean bound).
-            rows = []
-            for ai2 in defer_list:
-                rows += [_tile(v) for v in rlv[ai2]] + [_tile(v) for v in rav[ai2]]
-            for aid in couple_aids:
-                rows += [_tile(v) for v in unew[aid]]
-            lam_rows = [_tile(v) for v in ln]
+            # PYTREE carry (round-3 perf): the old packed-rows carry paid a
+            # jnp.stack of every row + per-row slicing on EVERY sweep — pure
+            # data movement rivaling the sweep math itself. With a pytree of
+            # individual tiles the fori_loop carries each buffer by reference
+            # and the pack/unpack ops vanish. Floats (never-touched slots) are
+            # canonicalized to tiles so the carry structure is iteration-
+            # invariant.
+            c_rlv = tuple(tuple(_tile(v) for v in rlv[ai2]) for ai2 in defer_list)
+            c_rav = tuple(tuple(_tile(v) for v in rav[ai2]) for ai2 in defer_list)
+            c_u = tuple(tuple(_tile(v) for v in unew[aid]) for aid in couple_aids)
+            c_ln = tuple(_tile(v) for v in ln)
             if world_fidelity:
-                for t3 in lt:
-                    lam_rows += [_tile(t3[i]) for i in range(3)]
+                c_lt = tuple(tuple(_tile(t3[i]) for i in range(3)) for t3 in lt)
             else:
-                lam_rows += [_tile(v) for v in lt]
-            return jnp.stack(rows), jnp.stack(lam_rows).astype(jnp.bfloat16)
+                c_lt = tuple(_tile(v) for v in lt)
+            return (c_rlv, c_rav, c_u, c_ln, c_lt)
 
         def _unpack_carry(carry):
-            arr, lam_arr = carry
-            lam_arr = lam_arr.astype(jnp.float32)
-            rlv, rav, unew = {}, {}, {}
-            r = 0
-            for ai2 in defer_list:
-                rlv[ai2] = (arr[r], arr[r + 1], arr[r + 2])
-                rav[ai2] = (arr[r + 3], arr[r + 4], arr[r + 5])
-                r += 6
-            for aid in couple_aids:
-                nv_a = art_ctx[aid]["nv"]
-                unew[aid] = [arr[r + i] for i in range(nv_a)]
-                r += nv_a
-            ln = [lam_arr[i] for i in range(n_fc)]
-            if world_fidelity:
-                lt = [
-                    (lam_arr[n_fc + 3 * i], lam_arr[n_fc + 3 * i + 1], lam_arr[n_fc + 3 * i + 2])
-                    for i in range(n_fc)
-                ]
-            else:
-                lt = [lam_arr[n_fc + i] for i in range(n_fc)]
+            c_rlv, c_rav, c_u, c_ln, c_lt = carry
+            rlv = {ai2: c_rlv[k] for k, ai2 in enumerate(defer_list)}
+            rav = {ai2: c_rav[k] for k, ai2 in enumerate(defer_list)}
+            unew = {aid: list(c_u[k]) for k, aid in enumerate(couple_aids)}
+            ln = list(c_ln)
+            lt = [tuple(t3) for t3 in c_lt] if world_fidelity else list(c_lt)
             return rlv, rav, ln, lt, unew
 
         def _sweep_body(_, carry):
@@ -1020,7 +1065,7 @@ def dynamics_lanes(scene, masks_list, state, pos, quat, linv, angv, axis_w,
                 vt = L.sub3(v_rel, L.scale3(n, vn))
                 vt_n = L.norm3(vt, eps=1e-9)
                 t_dir = L.scale3(vt, 1.0 / vt_n)
-                k_t = _eff_inv_mass(c, t_dir)
+                k_t = _quad(K_cache[ci], t_dir)
                 jt_try = tuple(jnp.where(active, -vt[i] / k_t, 0.0) for i in range(3))
                 jt_norm = L.norm3(jt_try, eps=0.0)
                 # friction cone: couple candidates are seeded with the

@@ -57,6 +57,52 @@ def unpack_rows(arr, A, D, B):
     return st
 
 
+def state_to_carry(st, A, D, B, n_fc):
+    """state dict → iteration-invariant PYTREE carry of individual tiles.
+
+    The loop carries (substeps, H steps) used to be a single packed
+    (NSR, 8, 128) array, which cost a jnp.stack of ~NSR rows + NSR slice reads
+    PER SUBSTEP — pure data movement on the same order as the physics math
+    itself (the round-3 phase profile showed the base loop dominating the
+    kernel). A pytree carry keeps every tile as its own buffer: fori_loop
+    threads them by reference and the pack/unpack ops disappear. Float slots
+    (e.g. net-cf of bodies with no contact candidates) are canonicalized to
+    tiles so the structure matches across iterations."""
+    ref = st["root_pos"][0][0]
+    zero = ref * 0.0
+
+    def t(x):
+        return x + zero if isinstance(x, (int, float)) else x
+
+    ncf = st.get("net_cf", [(0.0, 0.0, 0.0)] * B)
+    lam = st.get("lam")
+    if n_fc and lam is None:
+        lam = [(0.0, 0.0, 0.0, 0.0)] * n_fc
+    return (
+        tuple(tuple(t(v) for v in st["root_pos"][a]) for a in range(A)),
+        tuple(tuple(t(v) for v in st["root_quat"][a]) for a in range(A)),
+        tuple(tuple(t(v) for v in st["root_linvel"][a]) for a in range(A)),
+        tuple(tuple(t(v) for v in st["root_angvel"][a]) for a in range(A)),
+        tuple(t(st["q"][d]) for d in range(D)),
+        tuple(t(st["qd"][d]) for d in range(D)),
+        tuple(tuple(t(v) for v in ncf[b]) for b in range(B)),
+        tuple(tuple(t(v) for v in lam[ci]) for ci in range(n_fc)) if n_fc else (),
+    )
+
+
+def carry_to_state(carry, n_fc):
+    """PYTREE carry → state dict (list/tuple views, no data movement)."""
+    rp, rq, rlv, rav, q, qd, ncf, lam = carry
+    st = {
+        "root_pos": list(rp), "root_quat": list(rq),
+        "root_linvel": list(rlv), "root_angvel": list(rav),
+        "q": list(q), "qd": list(qd), "net_cf": list(ncf),
+    }
+    if n_fc:
+        st["lam"] = list(lam)
+    return st
+
+
 def pack_rows(st, A, B):
     rows = []
     for a in range(A):
@@ -147,16 +193,6 @@ class FusedRollout:
     def _unpack(self, arr):
         return unpack_rows(arr, self.A, self.D, self.B)
 
-    def _pack(self, st):
-        return pack_rows(st, self.A, self.B)
-
-    def _pack_full(self, st, arr_prev):
-        """state rows + the persistent-λ rows carried from arr_prev."""
-        rows = self._pack(st)
-        if self.n_fc:
-            rows = jnp.concatenate([rows, arr_prev[self.NS:]])
-        return rows
-
     # ------------------------------------------------------------------
     def _kernel(self, state_ref, V_ref, mass_ref, fric_ref, cost_ref, vis_ref):
         scene, tables = self.scene, self.engine.tables
@@ -169,9 +205,10 @@ class FusedRollout:
         fric_tiles = [fric_ref[g] for g in range(self.scene.ngeom)]
 
         NS, n_fc = self.NS, self.n_fc
+        A, D, B = self.A, self.D, self.B
 
-        def h_body(t, arr):
-            st = self._unpack(arr)
+        def h_body(t, carry):
+            st = carry_to_state(carry, n_fc)
             u = V_ref[t].astype(jnp.float32)              # (nu, 8, 128)
             u_tiles = [u[j] for j in range(self.nu)]
             # command map: dof_target = W @ u (+ gripper binarize)
@@ -199,17 +236,10 @@ class FusedRollout:
                     )
                 else:
                     tgt[dof] = jnp.where(uc > th, hi, lo)
-            st["dof_target"] = tgt
 
-            def sub_body(_, arr_s):
-                s2 = self._unpack(arr_s)
+            def sub_body(_, carry_s):
+                s2 = carry_to_state(carry_s, n_fc)
                 s2["dof_target"] = tgt
-                if n_fc:
-                    s2["lam"] = [
-                        (arr_s[NS + 4 * ci], arr_s[NS + 4 * ci + 1],
-                         arr_s[NS + 4 * ci + 2], arr_s[NS + 4 * ci + 3])
-                        for ci in range(n_fc)
-                    ]
                 s2 = substep_lanes(
                     scene, tables, self.masks_list, s2, fric_tiles, mass_tiles, dt_sub,
                     impulse_sweeps=self.impulse_sweeps,
@@ -217,19 +247,9 @@ class FusedRollout:
                     skip_contacts=self.profile.get("skip_contacts", False),
                     skip_dynamics=self.profile.get("skip_dynamics", False),
                 )
-                rows = self._pack(s2)
-                if n_fc:
-                    lam = s2.get("lam")
-                    if lam is not None:
-                        lam_rows = jnp.stack(
-                            [lam[ci][k] for ci in range(n_fc) for k in range(4)]
-                        )
-                    else:
-                        lam_rows = arr_s[NS:]
-                    rows = jnp.concatenate([rows, lam_rows])
-                return rows
+                return state_to_carry(s2, A, D, B, n_fc)
 
-            arr = jax.lax.fori_loop(0, substeps, sub_body, self._pack_full(st, arr))
+            carry = jax.lax.fori_loop(0, substeps, sub_body, carry)
 
             # cost on the post-step state
             if self.profile.get("zero_cost", False):
@@ -237,8 +257,8 @@ class FusedRollout:
                 # entirely to isolate its share of the kernel
                 cost_ref[t] = jnp.zeros((8, 128), jnp.float32)
                 vis_ref[t] = jnp.zeros((3, 8, 128), jnp.bfloat16)
-                return arr
-            stf = self._unpack(arr)
+                return carry
+            stf = carry_to_state(carry, n_fc)
             pos, quat, linv, angv, _ = fk_lanes(scene, stf)
             view = LaneView(
                 scene, pos, quat, linv, angv, stf["net_cf"],
@@ -251,10 +271,18 @@ class FusedRollout:
                 vis_ref[t] = jnp.stack([vb[0], vb[1], vb[2]]).astype(jnp.bfloat16)
             else:
                 vis_ref[t] = jnp.zeros((3, 8, 128), jnp.bfloat16)
-            return arr
+            return carry
 
         arr0 = state_ref[:]
-        jax.lax.fori_loop(0, self.H, h_body, arr0)
+        st0 = self._unpack(arr0)
+        if n_fc:
+            st0["lam"] = [
+                (arr0[NS + 4 * ci], arr0[NS + 4 * ci + 1],
+                 arr0[NS + 4 * ci + 2], arr0[NS + 4 * ci + 3])
+                for ci in range(n_fc)
+            ]
+        jax.lax.fori_loop(0, self.H, h_body,
+                          state_to_carry(st0, A, D, B, n_fc))
 
     def _build_call(self):
         H, nu, NS, G = self.H, self.nu, self.NSR, self.G
@@ -391,32 +419,37 @@ class FusedWorldStep:
         tgt = [tgt_ref[d] for d in range(self.D)]
         NS, n_fc = self.NS, self.n_fc
 
-        def sub_body(i, arr_s):
-            s2 = unpack_rows(arr_s, self.A, self.D, self.B)
+        A, D, B = self.A, self.D, self.B
+
+        def sub_body(i, carry_s):
+            s2 = carry_to_state(carry_s, n_fc)
             s2["dof_target"] = tgt
-            if n_fc:
-                s2["lam"] = [
-                    (arr_s[NS + 4 * ci], arr_s[NS + 4 * ci + 1],
-                     arr_s[NS + 4 * ci + 2], arr_s[NS + 4 * ci + 3])
-                    for ci in range(n_fc)
-                ]
             s2 = substep_lanes(
                 scene, self.engine.tables, self.masks_list, s2,
                 fric_tiles, mass_tiles, dt_sub,
                 impulse_sweeps=self.impulse_sweeps,
                 world_fidelity=True,
             )
-            rows = pack_rows(s2, self.A, self.B)
-            if n_fc:
-                lam = s2.get("lam")
-                if lam is not None:
-                    lam_rows = jnp.stack([lam[ci][k] for ci in range(n_fc) for k in range(4)])
-                else:
-                    lam_rows = arr_s[NS:]
-                rows = jnp.concatenate([rows, lam_rows])
-            return rows
+            return state_to_carry(s2, A, D, B, n_fc)
 
-        out_ref[:] = jax.lax.fori_loop(0, substeps, sub_body, state_ref[:])
+        arr0 = state_ref[:]
+        st0 = unpack_rows(arr0, A, D, B)
+        if n_fc:
+            st0["lam"] = [
+                (arr0[NS + 4 * ci], arr0[NS + 4 * ci + 1],
+                 arr0[NS + 4 * ci + 2], arr0[NS + 4 * ci + 3])
+                for ci in range(n_fc)
+            ]
+        carry = jax.lax.fori_loop(0, substeps, sub_body,
+                                  state_to_carry(st0, A, D, B, n_fc))
+        sf = carry_to_state(carry, n_fc)
+        rows = pack_rows(sf, A, B)
+        if n_fc:
+            lam = sf["lam"]
+            rows = jnp.concatenate([rows, jnp.stack(
+                [lam[ci][k] for ci in range(n_fc) for k in range(4)]
+            )])
+        out_ref[:] = rows
 
     def _build_call(self):
         NSW, D, B, NG = self.NSW, self.D, self.B, self.scene.ngeom

@@ -57,6 +57,7 @@ def run_task(
     randomize: bool = True,
     device_steps: int = 1,
     chunk_observer: Optional[Callable] = None,
+    use_fused: Optional[bool] = None,
 ) -> LoopMetrics:
     """success_fn(world: Simulation) -> bool; observer(step, world, action).
 
@@ -84,7 +85,8 @@ def run_task(
         g = np.asarray(cfg.goal, dtype=np.float64).reshape(-1)
         gp[: len(g)] = g[:3]
         world.set_actor_position_by_name("goal", gp)
-    planner = MPPIisaacPlanner(cfg, objective, prior, randomize=randomize)
+    planner = MPPIisaacPlanner(cfg, objective, prior, randomize=randomize,
+                               use_fused=use_fused)
     metrics = LoopMetrics()
     n = n_steps if n_steps is not None else cfg.n_steps
     dt = cfg.isaacgym.dt

@@ -202,6 +202,32 @@ def jackal() -> str:
     return u.xml()
 
 
+def husky() -> str:
+    """Clearpath Husky A200: 4-wheel skid-steer (public spec: 46.7 kg chassis,
+    0.165 m wheels, 0.555 m track, 0.512 m wheelbase). Completes the
+    reference's asset library (`assets/urdf/husky_description/husky.urdf` —
+    shipped but unused by any task; available here for user scenes)."""
+    u = U("husky")
+    cx, cy, cz = 0.99, 0.67, 0.39
+    u.link(
+        "base_link", mass=46.7, com=(-0.09, 0, 0.24),
+        inertia=(2.2, 5.5, 6.1),
+        geoms=[("box", (cx, cy, cz), (0, 0, 0.165 + cz / 2), (0, 0, 0))],
+    )
+    r = 0.165
+    for side, sy in (("left", 1), ("right", -1)):
+        for fr, sx in (("front", 1), ("rear", -1)):
+            ln = f"{fr}_{side}_wheel_link"
+            u.link(ln, mass=2.6, inertia=(0.02, 0.02, 0.04),
+                   geoms=[("capsule", (r, 0.05), (0, 0, 0), (1.5707963, 0, 0))])
+            u.joint(f"{fr}_{side}_wheel_joint", "continuous", "base_link", ln,
+                    xyz=(sx * 0.512 / 2, sy * 0.555 / 2, r), axis=(0, 1, 0),
+                    effort=10000.0, velocity=1000.0)
+    u.link("ee_link", mass=0.01)
+    u.joint("ee_joint", "fixed", "base_link", "ee_link", xyz=(0.5, 0, 0.3))
+    return u.xml()
+
+
 # ---------------------------------------------------------------------------
 # Franka panda arm (public franka_description kinematics, primitive collisions)
 # ---------------------------------------------------------------------------
@@ -429,6 +455,7 @@ ROBOTS = {
     "heijn": heijn,
     "boxer": boxer,
     "jackal": jackal,
+    "husky": husky,
     "panda": lambda: panda("bare"),
     "panda_stick": lambda: panda("stick"),
     "panda_gripper": lambda: panda("gripper"),

@@ -37,10 +37,14 @@ def main(freeze_steps=300):
     obj = PandaStickPushObjective(cfg)
     world = Simulation(cfg=cfg.isaacgym, actors=cfg.actors,
                        init_positions=cfg.initial_actor_positions, num_envs=1)
-    gp = np.asarray(world.get_actor_position_by_name("goal"))[0].astype(np.float64)
-    g = np.asarray(cfg.goal, dtype=np.float64).reshape(-1)
-    gp[: len(g)] = g[:3]
-    world.set_actor_position_by_name("goal", gp)
+    # cfg.goal is None for this task (the reference leaves the marker at its
+    # yaml pose [1,1,0.5]); np.asarray(None, float64) is NaN — guard like
+    # run_task does, or the NaN goal poisons the whole scene
+    if getattr(cfg, "goal", None) is not None:
+        gp = np.asarray(world.get_actor_position_by_name("goal"))[0].astype(np.float64)
+        g = np.asarray(cfg.goal, dtype=np.float64).reshape(-1)
+        gp[: len(g)] = g[:3]
+        world.set_actor_position_by_name("goal", gp)
     planner = MPPIisaacPlanner(cfg, obj, randomize=True)
     bi = world.scene.actor_index("panda_push_block")
 

@@ -38,12 +38,17 @@ def time_variant(name, built, engine, cost_fn, vis_body, fidelity, substeps,
         impulse_sweeps=sweeps, world_fidelity=fidelity == "world",
         substeps=substeps, profile=profile,
     )
-    costs, _ = fr.rollout(state_K, params_K, V)
+    # jit the WHOLE rollout call: the host-side (K,·)→lanes layout conversion
+    # is otherwise dispatched as separate XLA calls, and on this backend each
+    # dispatch costs ~25-45 ms — the first profile run measured ~30 ms of
+    # conversion overhead per variant, drowning the ~2-6 ms kernel deltas
+    run = jax.jit(fr.rollout)
+    costs, _ = run(state_K, params_K, V)
     float(np.asarray(costs).sum())          # sync through a host read
     t_compile = time.perf_counter() - t0
     t0 = time.perf_counter()
     for _ in range(ITERS):
-        costs, _ = fr.rollout(state_K, params_K, V)
+        costs, _ = run(state_K, params_K, V)
     float(np.asarray(costs).sum())
     dt = (time.perf_counter() - t0) / ITERS
     out = {"variant": name, "ms": round(dt * 1e3, 2),

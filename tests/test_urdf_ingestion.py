@@ -81,6 +81,7 @@ def test_asset_fk_matches_procedural(tmp_path):
         ("anymal", "anymal_c/urdf/anymal.urdf", "LF_KFE"),
         ("boxer", "boxer/boxer.urdf", "ee_link"),
         ("jackal", "jackal/jackal.urdf", "ee_link"),
+        ("husky", "husky_description/husky.urdf", "ee_link"),
         ("omni_panda", "omni_panda/omniPandaWithGripper.urdf", "panda_hand"),
         # primitive-style URDFs (no meshes — reference ships heijn.urdf and
         # point_robot.urdf the same way); exercises the primitive parse path
