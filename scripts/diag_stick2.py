@@ -94,18 +94,26 @@ def main(freeze_steps=300):
                 interpret=jax.default_backend() == "cpu",
                 impulse_sweeps=cfg.mppi.rollout_sweeps,
                 world_fidelity=cfg.mppi.rollout_fidelity == "world",
+                # vis channel rides the BLOCK root: the planner model's
+                # predicted block trajectory, directly comparable to the
+                # world's (the cost trace conflates EE terms)
+                vis_body=world.scene.body_offset[bi],
             )
             params_K = sample_model_params(world.built, world.engine, K, seed=0)
             params_K = jax.tree.map(lambda x: jnp.broadcast_to(x[:1], x.shape), params_K)
             st_K = jax.tree.map(
                 lambda x: jnp.broadcast_to(x[:1], (K,) + x.shape[1:]), state0)
             V = jnp.asarray(tape)[None].repeat(K, 0)
-            costs, _ = fr.rollout(st_K, params_K, V)
+            costs, vis = fr.rollout(st_K, params_K, V)
             c = np.asarray(costs)[0]
+            bv = np.asarray(vis, np.float64)[:, 0, :]      # (H, 3) block traj
+            model_dblock = float(np.linalg.norm(bv[-1, :2] - b0[:2]))
             print(json.dumps({
                 "phase": f"tape j{jdof} {sgn:+.0f}",
                 "world_block_moved_m": round(world_dblock, 4),
+                "model_block_moved_m": round(model_dblock, 4),
                 "world_block": b1[:2].round(3).tolist(),
+                "model_block": bv[-1, :2].round(3).tolist(),
                 "world_ee": ee1.round(3).tolist(),
                 "rollout_cost_t0": round(float(c[0]), 2),
                 "rollout_cost_min": round(float(c.min()), 2),

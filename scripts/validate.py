@@ -156,7 +156,9 @@ def suite():
         ("boxer_reach", mod("mobile_reach").run,
          {"robot": "boxer", "overrides": ["mppi.horizon=24"]}),
         ("boxer_push", mod("mobile_push").run, {"robot": "boxer"}),
-        ("panda_stick_push", mod("panda_stick_push").run, {}),
+        # conf n_steps matches the reference's 10000; the suite gate caps the
+        # episode at 1000 steps (round-1 succeeded @393)
+        ("panda_stick_push", mod("panda_stick_push").run, {"n_steps": 1000}),
         ("albert", mod("albert").run, {}),
     ]
     out = {}

@@ -24,6 +24,29 @@ def test_point_robot_chunked_device_loop():
     assert m.final_state_finite
 
 
+def test_chunked_loop_chunk_observer():
+    """chunk_observer receives every step's post-step state (from the stacked
+    chunk fetch) with a Simulation-compatible view — the diagnostics hook that
+    avoids the separately-compiled per-step observer path."""
+    from mppiisaac_tpu.runtime.loop import run_task
+    from mppiisaac_tpu.utils.config_store import load_config
+    from mppiisaac_tpu.tasks.point_robot import PointRobotObjective
+
+    cfg = load_config("tasks/point_robot", ["mppi.num_samples=32"])
+    seen = []
+
+    def obs(step, world, action):
+        q = np.asarray(world.view.actor_q("point_robot"))[0]
+        seen.append((step, float(q[0]), np.asarray(action).shape))
+
+    m = run_task(cfg, PointRobotObjective(cfg), n_steps=16, randomize=False,
+                 device_steps=8, chunk_observer=obs)
+    assert m.steps == 16
+    assert [s for s, _, _ in seen] == list(range(16))
+    # the robot moves: the observed x coordinate changes over the chunk
+    assert abs(seen[-1][1] - seen[0][1]) > 1e-4
+
+
 def test_multi_episode_runner_single_build():
     """run_task_episodes: one build + compile, N seeded episodes with state
     and solver-carry resets (the tuning/benchmark episode protocol,
