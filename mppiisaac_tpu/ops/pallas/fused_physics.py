@@ -689,7 +689,10 @@ def dynamics_lanes(scene, masks_list, state, pos, quat, linv, angv, axis_w,
             qk = state["q"][dglob]
             qdk = state["qd"][dglob]
             tgt = state["dof_target"][dglob]
-            if "finger" in art.dof_names[kdof]:
+            if "finger" in art.dof_names[kdof] and mode == DRIVE_VELOCITY:
+                # velocity-drive fingers only (see stacked.build_stacked's
+                # dof_gate_body): `tgt < 0` is velocity-closing semantics;
+                # effort-mode fingers must keep their sustained squeeze
                 fbody = bo + [i for i in range(art.nbody) if art.dof_index[i] == kdof][0]
                 ncf_b = state.get("net_cf", [(0.0, 0.0, 0.0)] * scene.nbody)[fbody]
                 fmag = L.norm3(ncf_b, eps=0.0)

@@ -198,11 +198,18 @@ def build_articulation(
     # error): a saturated constant-force clamp has zero centering stiffness
     # (neutral equilibrium — the grip wanders along the clamp axis), while an
     # unsaturated spring pair centers the object at ~2·kp stiffness.
-    for k, jn in enumerate(dof_names):
-        if "finger" in jn:
-            drive_mode_arr[k] = DRIVE_POSITION
-            drive_kp_arr[k] = 600.0
-            drive_kd_arr[k] = 30.0
+    # EXCEPTION: effort-mode robots keep effort-driven fingers — the reference
+    # fills ALL DOFs with DOF_MODE_EFFORT (isaacgym_wrapper.py:493-507) and
+    # its gripper binarize never fires for the omnipanda (it string-matches
+    # actor name 'panda_gripper', examples' omni actor is 'omnipanda'), so
+    # omni_panda_pick's fingers are raw ±6 N efforts shaped by the
+    # comfy_gripper_state cost term.
+    if dof_mode != "effort":
+        for k, jn in enumerate(dof_names):
+            if "finger" in jn:
+                drive_mode_arr[k] = DRIVE_POSITION
+                drive_kp_arr[k] = 600.0
+                drive_kd_arr[k] = 30.0
 
     geoms: List[GeomSpec] = []
     for ln, i in idx.items():

@@ -252,11 +252,17 @@ def build_stacked(scene: SceneModel) -> StackedModel:
     body_jdof_clipped = np.where(body_jdof >= 0, body_jdof, 0).astype(np.int32)
 
     # gripper force gate: finger dofs (by joint name) stop closing when their
-    # link's net contact force exceeds scene.grip_force_gate
+    # link's net contact force exceeds scene.grip_force_gate. VELOCITY-drive
+    # fingers only: the `target < 0` closing test is velocity semantics —
+    # position targets are never negative, and gating effort-mode fingers
+    # would zero the sustained squeeze an effort grasp depends on (the
+    # reference applies no such gate in effort mode).
+    from .model import DRIVE_VELOCITY as _DRV
+
     dof_gate_body = np.full(D, -1, np.int32)
     for ai, art in enumerate(scene.actors):
         for k, jn in enumerate(art.dof_names):
-            if "finger" in jn:
+            if "finger" in jn and int(art.drive_mode[k]) == _DRV:
                 for i in range(art.nbody):
                     if art.dof_index[i] == k:
                         dof_gate_body[scene.dof_offset[ai] + k] = scene.body_offset[ai] + i

@@ -94,9 +94,12 @@ def pick(fidelity="fast", n_seeds=5, task="panda_pick", substeps=""):
         return float(np.linalg.norm(b - g)) < 0.2
 
     t0 = time.perf_counter()
+    # conf n_steps now matches the reference's 10000-step budget; the sweep
+    # gate caps episodes at 1500 steps (60 s — same budget as omni) so the
+    # ≥80% bar is measured against a bounded, documented horizon
     results = run_task_episodes(
         cfg, obj, seeds=list(range(int(n_seeds))), success_fn=success,
-        device_steps=16, verbose=True,
+        n_steps=1500, device_steps=16, verbose=True,
     )
     s = _summ(results)
     s["task"], s["fidelity"], s["substeps"] = task, fidelity, substeps or "world-match"

@@ -133,3 +133,34 @@ def test_planner_update_mppi_params_structural():
     np.testing.assert_allclose(np.asarray(planner.mppi.carry.sigma), np.eye(3) * 0.4, atol=1e-6)
     a = planner.compute_action(np.zeros(3), np.zeros(3))
     assert np.all(np.isfinite(a))
+
+
+def test_effort_robot_fingers_stay_effort_driven():
+    """Effort-mode robots keep RAW effort-driven fingers with no binarize —
+    the reference fills ALL DOFs with DOF_MODE_EFFORT
+    (`isaacgym_wrapper.py:493-507`) and its gripper binarize never fires for
+    the omnipanda (name-matched to 'panda_gripper' only,
+    `isaacgym_wrapper.py:561-565`). Round-3 regression: binarized
+    position-targets fed as ~0.04 N efforts latched the omni gripper shut."""
+    from mppiisaac_tpu.physics.model import DRIVE_EFFORT, DRIVE_POSITION
+    from mppiisaac_tpu.runtime.sim import Simulation
+    from mppiisaac_tpu.utils.config_store import load_config
+
+    cfg = load_config("tasks/omni_panda_pick", None)
+    sim = Simulation(cfg=cfg.isaacgym, actors=cfg.actors,
+                     init_positions=cfg.initial_actor_positions, num_envs=1)
+    art = sim.scene.actors[sim.scene.actor_index("omnipanda")]
+    fm = [int(art.drive_mode[k]) for k, jn in enumerate(art.dof_names)
+          if "finger" in jn]
+    assert fm == [DRIVE_EFFORT, DRIVE_EFFORT]
+    assert sim.built.cmd_map.binarize_dofs == []
+
+    # velocity-mode gripper robots KEEP the position-drive override
+    cfg2 = load_config("tasks/panda_pick", None)
+    sim2 = Simulation(cfg=cfg2.isaacgym, actors=cfg2.actors,
+                      init_positions=cfg2.initial_actor_positions, num_envs=1)
+    art2 = sim2.scene.actors[sim2.scene.actor_index("panda")]
+    fm2 = [int(art2.drive_mode[k]) for k, jn in enumerate(art2.dof_names)
+           if "finger" in jn]
+    assert fm2 == [DRIVE_POSITION, DRIVE_POSITION]
+    assert len(sim2.built.cmd_map.binarize_dofs) == 2
