@@ -66,7 +66,7 @@ def _fidelity(arg):
     return arg
 
 
-def pick(fidelity="fast", n_seeds=5, task="panda_pick", substeps=""):
+def pick(fidelity="fast", n_seeds=5, task="panda_pick", substeps="", sweeps=""):
     _jax_cache()
     import numpy as np
 
@@ -84,6 +84,8 @@ def pick(fidelity="fast", n_seeds=5, task="panda_pick", substeps=""):
     over = [f"mppi.rollout_fidelity={_fidelity(fidelity)}"]
     if substeps:
         over.append(f"mppi.rollout_substeps={substeps}")
+    if sweeps:
+        over.append(f"mppi.rollout_sweeps={sweeps}")
     cfg = load_config(f"tasks/{task}", over)
     obj = Obj(cfg)
 
@@ -103,10 +105,11 @@ def pick(fidelity="fast", n_seeds=5, task="panda_pick", substeps=""):
     )
     s = _summ(results)
     s["task"], s["fidelity"], s["substeps"] = task, fidelity, substeps or "world-match"
+    s["sweeps"] = sweeps or "default"
     s["wall_s"] = round(time.perf_counter() - t0, 1)
     print("SUMMARY " + json.dumps(s))
     print(f"SUCCESS {s['successes']}/{s['episodes']}")
-    _record(f"{task}:{fidelity}:{substeps or 'world-match'}", s)
+    _record(f"{task}:{fidelity}:{substeps or 'world-match'}:sw{sweeps or 'd'}", s)
     return s
 
 
