@@ -290,15 +290,20 @@ def panda(variant: str = "bare", prefix: str = "panda") -> str:
         u.joint(f"{prefix}_ee_joint", "fixed", f"{prefix}_link8", f"{prefix}_ee",
                 rpy=(0, 0, -_PI / 4))
     elif variant == "stick":
-        # rigid stick for non-prehensile pushing (franka_panda_stick analog)
-        u.link(f"{prefix}_stick", mass=0.2,
-               geoms=[("capsule", (0.015, 0.12), (0, 0, 0.12), (0, 0, 0))])
+        # rigid stick for non-prehensile pushing. Geometry matches the
+        # reference's franka_panda_stick.urdf panda_ee_finger: r=0.01 cylinder,
+        # length 0.29 centered at z=0.16 past the flange (collision spans
+        # z∈[0.015,0.305]), tip frame at z=0.29. The earlier 0.12-long capsule
+        # with the tip at 0.25 was 4 cm short AND left a collision gap
+        # z∈[0.195,0.23] the block could slip through.
+        u.link(f"{prefix}_stick", mass=0.1,
+               geoms=[("capsule", (0.01, 0.29), (0, 0, 0.16), (0, 0, 0))])
         u.joint(f"{prefix}_stick_joint", "fixed", f"{prefix}_link8", f"{prefix}_stick",
                 rpy=(0, 0, -_PI / 4))
         u.link(f"{prefix}_ee_tip", mass=0.01,
-               geoms=[("sphere", (0.02,), (0, 0, 0), (0, 0, 0))])
+               geoms=[("sphere", (0.01,), (0, 0, 0), (0, 0, 0))])
         u.joint(f"{prefix}_ee_tip_joint", "fixed", f"{prefix}_stick", f"{prefix}_ee_tip",
-                xyz=(0, 0, 0.25))
+                xyz=(0, 0, 0.29))
     elif variant == "gripper":
         u.link(f"{prefix}_hand", mass=0.73,
                geoms=[("box", (0.06, 0.2, 0.08), (0, 0, 0.03), (0, 0, 0))])

@@ -96,7 +96,13 @@ def run(overrides=None, **kw):
         gi = world.scene.actor_index("goal")
         b = np.asarray(world.state.root_pos[0, bi, :2])
         g = np.asarray(world.state.root_pos[0, gi, :2])
-        return float(np.linalg.norm(b - g)) < 0.2
+        # The reference task has NO success criterion (its world.py loops for
+        # 10000 steps with no check) and its goal marker at (1,1) lies beyond
+        # the fixed arm's reach: min ‖tip−goal‖_xy = 0.344 over the full joint
+        # space (scripts/reach_analysis.py), so a block can physically get no
+        # closer than ~0.30. Gate at 0.40: ~0.75 m of directed pushing,
+        # reached at ~step 1150 in the observed TPU episode (diag_stick.py).
+        return float(np.linalg.norm(b - g)) < 0.4
 
     return run_task(cfg, obj, success_fn=success, **kw)
 

@@ -163,8 +163,9 @@ def suite():
          {"robot": "boxer", "overrides": ["mppi.horizon=24"]}),
         ("boxer_push", mod("mobile_push").run, {"robot": "boxer"}),
         # conf n_steps matches the reference's 10000; the suite gate caps the
-        # episode at 1000 steps (round-1 succeeded @393)
-        ("panda_stick_push", mod("panda_stick_push").run, {"n_steps": 1000}),
+        # episode at 1500 steps — the |b-g|<0.4 gate (see tasks/
+        # panda_stick_push.py + scripts/reach_analysis.py) lands ~step 1150
+        ("panda_stick_push", mod("panda_stick_push").run, {"n_steps": 1500}),
         ("albert", mod("albert").run, {}),
     ]
     out = {}
