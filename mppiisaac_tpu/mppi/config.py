@@ -48,6 +48,10 @@ class MPPIConfig:
     rollout_fidelity: str = "world"           # world | fast
     rollout_substeps: Optional[int] = None    # None = match the world sim
     rollout_sweeps: int = 2                   # GS impulse sweeps per substep
+    # "reduced": fast-fidelity rollouts sample box-box pairs with corners only
+    # (8 vs 14 bbc samples, ~40% fewer narrowphase+swept candidates); the
+    # world sim and world-fidelity rollouts always keep the full manifold.
+    rollout_manifold: str = "full"            # full | reduced
     # tape-prior sampling-mean blend (biased MPPI): sample around
     # (1-a)·U + a·tape instead of U. 0 = off (tape rides one sample only).
     # Rhythmic priors (quadruped gait) need the blend — a single tape sample

@@ -335,7 +335,7 @@ def contacts_lanes(scene, tables, pos, quat, linv, angv, fric_scale, dt_sub):
     for ci in range(N_BOX_SAMPLES):
         for ga, gb in zip(tables.bb_a.tolist(), tables.bb_b.tolist()):
             cands.append((None, ga, gb, "bbB", (ci,)))
-    for ci in range(N_BBC_SAMPLES):
+    for ci in range(tables.bbc_samples):
         for ga, gb in zip(tables.bbc_a.tolist(), tables.bbc_b.tolist()):
             cands.append((None, ga, gb, "bbc", (ci,)))
     assert len(cands) == tables.n_con, (len(cands), tables.n_con)

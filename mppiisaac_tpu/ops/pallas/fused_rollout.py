@@ -132,6 +132,7 @@ class FusedRollout:
         world_fidelity: bool = True,
         substeps: Optional[int] = None,
         profile: Optional[dict] = None,
+        manifold: str = "full",
     ):
         # profile: optional per-phase ablation flags for scripts/
         # profile_kernel.py — {"skip_contacts": bool, "skip_dynamics": bool,
@@ -179,7 +180,19 @@ class FusedRollout:
         # model's grasp-hold prediction matches the world engine
         from .fused_physics import free_cand_indices
 
-        self.fc_idx = free_cand_indices(s, engine.tables)
+        # planner-model manifold (MPPIConfig.rollout_manifold): "reduced"
+        # rebuilds the contact tables with corners-only box-box sampling
+        # (8 vs 14 bbc samples) — ~40% fewer narrowphase + swept candidates
+        # on pick-class scenes. Only meaningful for the fast-fidelity model:
+        # world fidelity shares the world's persistent-λ rows, which are
+        # indexed by the WORLD tables' candidate order.
+        if manifold == "reduced" and not world_fidelity:
+            from ...physics.contact import build_contact_tables
+
+            self.tables = build_contact_tables(s, bbc_samples=8)
+        else:
+            self.tables = engine.tables
+        self.fc_idx = free_cand_indices(s, self.tables)
         self.n_fc = len(self.fc_idx) if world_fidelity else 0
         self.NSR = self.NS + 4 * self.n_fc
         self._run = jax.jit(self._build_call())
@@ -195,7 +208,7 @@ class FusedRollout:
 
     # ------------------------------------------------------------------
     def _kernel(self, state_ref, V_ref, mass_ref, fric_ref, cost_ref, vis_ref):
-        scene, tables = self.scene, self.engine.tables
+        scene, tables = self.scene, self.tables
         dt_sub = self.dt_sub
         substeps = self.substeps
         cmdW = self.built.cmd_map.W                      # (D, nu) static

@@ -52,6 +52,11 @@ class ContactTables:
     # candidates; a typical reduced pair costs 8-16)
     bbc_a: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int32))
     bbc_b: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int32))
+    # per-table bbc sample count: the WORLD tables use the full 14-sample
+    # reduced manifold (corners + face centers); a planner-model table may be
+    # built with 8 (corners only) — the fast-fidelity fused rollout trades the
+    # face-face support patch for ~40% fewer swept candidates
+    bbc_samples: int = 14
     # flat candidate tables, in the exact order the runtime concatenates
     n_con: int = 0
     con_geom_a: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int32))
@@ -122,7 +127,8 @@ BB_DROP_VOL_RATIO = 64.0
 N_BBC_SAMPLES = 14
 
 
-def build_contact_tables(scene: SceneModel) -> ContactTables:
+def build_contact_tables(scene: SceneModel,
+                         bbc_samples: int = N_BBC_SAMPLES) -> ContactTables:
     gt = scene.geom_type
     cp_g, bp_g = [], []
     cc_a, cc_b = [], []
@@ -190,7 +196,7 @@ def build_contact_tables(scene: SceneModel) -> ContactTables:
     for _ in range(2 * N_BOX_SAMPLES):
         for a, b in zip(bb_a, bb_b):
             emit(a, b, 4.0)
-    for _ in range(N_BBC_SAMPLES):
+    for _ in range(int(bbc_samples)):
         for a, b in zip(bbc_a_l, bbc_b_l):
             emit(a, b, 4.0)
 
@@ -284,6 +290,7 @@ def build_contact_tables(scene: SceneModel) -> ContactTables:
         a_sta=a_sta_l, b_sta=b_sta_l,
         art_bodies=tuple(sorted(art_bodies)),
         acc_a=acc_a, acc_b=acc_b,
+        bbc_samples=int(bbc_samples),
     )
 
 
@@ -475,7 +482,7 @@ def compute_contact_forces(
     if len(tables.bbc_a):
         ga, gb = tables.bbc_a, tables.bbc_b
         ca = _box_samples(gp[ga], gq[ga], jnp.asarray(sizes[ga], dt_))    # (n,26,3)
-        for ci in range(N_BBC_SAMPLES):
+        for ci in range(tables.bbc_samples):
             n_w, depth_c, surf = _point_to_box(ca[..., ci, :], gp[gb], gq[gb], jnp.asarray(sizes[gb], dt_))
             pts.append(surf); nrms.append(n_w); dpths.append(depth_c)
 

@@ -142,6 +142,7 @@ class MPPIisaacPlanner:
                 impulse_sweeps=cfg.mppi.rollout_sweeps,
                 world_fidelity=cfg.mppi.rollout_fidelity != "fast",
                 substeps=cfg.mppi.rollout_substeps,
+                manifold=getattr(cfg.mppi, "rollout_manifold", "full"),
             )
 
         self.mppi = MPPIPlanner(
@@ -195,6 +196,7 @@ class MPPIisaacPlanner:
                 impulse_sweeps=cfg.mppi.rollout_sweeps,
                 world_fidelity=cfg.mppi.rollout_fidelity != "fast",
                 substeps=cfg.mppi.rollout_substeps,
+                manifold=getattr(cfg.mppi, "rollout_manifold", "full"),
             )
 
         return make

@@ -14,7 +14,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def main(n_steps=600, seed=0, every=25):
+def main(n_steps=600, seed=0, every=25, use_fused=1):
     from mppiisaac_tpu.runtime.loop import run_task
     from mppiisaac_tpu.tasks.omni_panda_pick import OmniPandaPickObjective
     from mppiisaac_tpu.utils.config_store import load_config
@@ -53,9 +53,10 @@ def main(n_steps=600, seed=0, every=25):
     # reuses the cached device_steps=16 program (the per-step observer path
     # compiles a separate program; >15 min on this backend, diag timed out)
     m = run_task(cfg, obj, n_steps=int(n_steps), success_fn=success,
-                 chunk_observer=observer, device_steps=16)
+                 chunk_observer=observer, device_steps=16,
+                 use_fused=bool(int(use_fused)))
     print("success_step:", m.success_step, "steps:", m.steps)
 
 
 if __name__ == "__main__":
-    main(*[int(a) for a in sys.argv[1:4]])
+    main(*[int(a) for a in sys.argv[1:5]])

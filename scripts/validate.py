@@ -66,7 +66,8 @@ def _fidelity(arg):
     return arg
 
 
-def pick(fidelity="fast", n_seeds=5, task="panda_pick", substeps="", sweeps=""):
+def pick(fidelity="fast", n_seeds=5, task="panda_pick", substeps="", sweeps="",
+         manifold=""):
     _jax_cache()
     import numpy as np
 
@@ -86,6 +87,8 @@ def pick(fidelity="fast", n_seeds=5, task="panda_pick", substeps="", sweeps=""):
         over.append(f"mppi.rollout_substeps={substeps}")
     if sweeps:
         over.append(f"mppi.rollout_sweeps={sweeps}")
+    if manifold:
+        over.append(f"mppi.rollout_manifold={manifold}")
     cfg = load_config(f"tasks/{task}", over)
     obj = Obj(cfg)
 
@@ -106,10 +109,13 @@ def pick(fidelity="fast", n_seeds=5, task="panda_pick", substeps="", sweeps=""):
     s = _summ(results)
     s["task"], s["fidelity"], s["substeps"] = task, fidelity, substeps or "world-match"
     s["sweeps"] = sweeps or "default"
+    if manifold:
+        s["manifold"] = manifold
     s["wall_s"] = round(time.perf_counter() - t0, 1)
     print("SUMMARY " + json.dumps(s))
     print(f"SUCCESS {s['successes']}/{s['episodes']}")
-    _record(f"{task}:{fidelity}:{substeps or 'world-match'}:sw{sweeps or 'd'}", s)
+    _record(f"{task}:{fidelity}:{substeps or 'world-match'}:sw{sweeps or 'd'}"
+            + (f":{manifold}" if manifold else ""), s)
     return s
 
 
