@@ -27,6 +27,8 @@ import os as _os
 
 FIDELITY = _os.environ.get("BENCH_FIDELITY", "fast")
 SUBSTEPS = _os.environ.get("BENCH_SUBSTEPS", "")     # "" = match world sim
+SWEEPS = _os.environ.get("BENCH_SWEEPS", "")         # "" = config default
+MANIFOLD = _os.environ.get("BENCH_MANIFOLD", "")     # "" = full
 
 
 def main():
@@ -48,6 +50,10 @@ def main():
             f"mppi.rollout_fidelity={FIDELITY}"]
     if SUBSTEPS:
         over.append(f"mppi.rollout_substeps={SUBSTEPS}")
+    if SWEEPS:
+        over.append(f"mppi.rollout_sweeps={SWEEPS}")
+    if MANIFOLD:
+        over.append(f"mppi.rollout_manifold={MANIFOLD}")
     cfg = load_config("tasks/panda_pick", over)
     t0 = time.perf_counter()
     planner = MPPIisaacPlanner(cfg, PandaPickObjective(cfg), randomize=True)
@@ -86,6 +92,7 @@ def main():
     fused = planner.mppi.fused
     # rollout-model substeps (may be coarser than the world engine's)
     substeps = fused.substeps if fused is not None else planner.sim.engine.substeps
+    sweeps = fused.impulse_sweeps if fused is not None else ""
     env_steps = K * H / dt                  # control-dt env steps per second
     phys_steps = env_steps * substeps       # physics substeps per second
 
@@ -102,13 +109,15 @@ def main():
             {
                 "metric": (
                     "panda_pick rollout env-steps/sec/chip "
-                    f"(K=1000, H=30, fidelity={FIDELITY}, substeps={substeps})"
+                    f"(K=1000, H=30, fidelity={FIDELITY}, substeps={substeps}, "
+                    f"sweeps={sweeps}{', manifold=' + MANIFOLD if MANIFOLD else ''})"
                 ),
                 "value": round(env_steps, 0),
                 "unit": "env-steps/s",
                 "vs_baseline": round(env_steps / REF_ENV_STEPS_PER_SEC, 2),
                 "control_hz": round(control_hz, 1),
                 "substeps_per_env_step": substeps,
+                "rollout_sweeps": sweeps,
                 "rollout_fidelity": FIDELITY,
             }
         )

@@ -39,6 +39,7 @@ def main(n_steps=600, seed=0, every=25, use_fused=1):
             f"|h-b|={np.linalg.norm(hand - block):.3f} "
             f"|b-g|={np.linalg.norm(block - goal):.3f} "
             f"grip=({grip[0]:.3f},{grip[1]:.3f}) "
+            f"u_base=({float(action[0]):+.1f},{float(action[1]):+.1f},{float(action[2]):+.1f}) "
             f"u_grip={float(action[-1]):+.2f}",
             flush=True,
         )
