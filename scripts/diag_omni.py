@@ -14,12 +14,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def main(n_steps=600, seed=0, every=25, use_fused=1):
+def main(n_steps=600, seed=0, every=25, use_fused=1, *overrides):
     from mppiisaac_tpu.runtime.loop import run_task
     from mppiisaac_tpu.tasks.omni_panda_pick import OmniPandaPickObjective
     from mppiisaac_tpu.utils.config_store import load_config
 
-    cfg = load_config("tasks/omni_panda_pick", [f"mppi.seed_val={seed}"])
+    cfg = load_config("tasks/omni_panda_pick",
+                      [f"mppi.seed_val={seed}", *overrides])
     obj = OmniPandaPickObjective(cfg)
 
     def observer(step, world, action):
@@ -60,4 +61,4 @@ def main(n_steps=600, seed=0, every=25, use_fused=1):
 
 
 if __name__ == "__main__":
-    main(*[int(a) for a in sys.argv[1:5]])
+    main(*[int(a) for a in sys.argv[1:5]], *sys.argv[5:])

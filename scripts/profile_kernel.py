@@ -10,7 +10,7 @@ impulse sweeps, and the per-H-step cost/vis section.
 Workload: the bench flagship — panda_pick, K=1000, H=30 (BASELINE.md).
 Prints one JSON line per variant and a final breakdown; paste into PROFILE.md.
 
-Usage: python scripts/profile_kernel.py [fast|world] [substeps]
+Usage: python scripts/profile_kernel.py [fast|world] [substeps] [sweeps] [manifold]
 """
 from __future__ import annotations
 
@@ -25,7 +25,7 @@ K, H, ITERS = 1000, 30, 10
 
 
 def time_variant(name, built, engine, cost_fn, vis_body, fidelity, substeps,
-                 sweeps, profile, state_K, params_K, V):
+                 sweeps, profile, state_K, params_K, V, manifold="full"):
     import jax
     import numpy as np
 
@@ -36,7 +36,7 @@ def time_variant(name, built, engine, cost_fn, vis_body, fidelity, substeps,
         built, engine, cost_fn=cost_fn, H=H, K=K, vis_body=vis_body,
         interpret=jax.default_backend() == "cpu",
         impulse_sweeps=sweeps, world_fidelity=fidelity == "world",
-        substeps=substeps, profile=profile,
+        substeps=substeps, profile=profile, manifold=manifold,
     )
     # jit the WHOLE rollout call: the host-side (K,·)→lanes layout conversion
     # is otherwise dispatched as separate XLA calls, and on this backend each
@@ -58,7 +58,7 @@ def time_variant(name, built, engine, cost_fn, vis_body, fidelity, substeps,
     return dt
 
 
-def main(fidelity="fast", substeps=None):
+def main(fidelity="fast", substeps=None, sweeps=None, manifold="reduced"):
     import jax
     import jax.numpy as jnp
 
@@ -81,25 +81,25 @@ def main(fidelity="fast", substeps=None):
     state_K, params_K = planner.sim.state, planner._params_K
     key = jax.random.PRNGKey(0)
     V = 0.1 * jax.random.normal(key, (K, H, built.cmd_map.nu), jnp.float32)
-    sw = cfg.mppi.rollout_sweeps
+    sw = int(sweeps) if sweeps else cfg.mppi.rollout_sweeps
     sub = int(substeps) if substeps else None
 
     res = {}
     res["full"] = time_variant("full", built, engine, cost_fn, vis_body,
-                               fidelity, sub, sw, {}, state_K, params_K, V)
+                               fidelity, sub, sw, {}, state_K, params_K, V, manifold=manifold)
     res["nocost"] = time_variant("nocost", built, engine, cost_fn, vis_body,
                                  fidelity, sub, sw, {"zero_cost": True},
-                                 state_K, params_K, V)
+                                 state_K, params_K, V, manifold=manifold)
     res["nosweeps"] = time_variant("nosweeps", built, engine, cost_fn, vis_body,
-                                   fidelity, sub, 0, {}, state_K, params_K, V)
+                                   fidelity, sub, 0, {}, state_K, params_K, V, manifold=manifold)
     res["nocontact"] = time_variant("nocontact", built, engine, cost_fn,
                                     vis_body, fidelity, sub, 0,
-                                    {"skip_contacts": True}, state_K, params_K, V)
+                                    {"skip_contacts": True}, state_K, params_K, V, manifold=manifold)
     res["fkonly"] = time_variant("fkonly", built, engine, cost_fn, vis_body,
                                  fidelity, sub, 0,
                                  {"skip_contacts": True, "skip_dynamics": True,
                                   "zero_cost": True},
-                                 state_K, params_K, V)
+                                 state_K, params_K, V, manifold=manifold)
 
     full = res["full"]
     breakdown = {
@@ -111,6 +111,7 @@ def main(fidelity="fast", substeps=None):
         "full_ms": round(full * 1e3, 2),
         "fidelity": fidelity,
         "substeps": sub or engine.substeps,
+        "sweeps": sw, "manifold": manifold,
         "K": K, "H": H,
     }
     print("BREAKDOWN " + json.dumps(breakdown), flush=True)
@@ -118,4 +119,6 @@ def main(fidelity="fast", substeps=None):
 
 if __name__ == "__main__":
     main(sys.argv[1] if len(sys.argv) > 1 else "fast",
-         sys.argv[2] if len(sys.argv) > 2 else None)
+         sys.argv[2] if len(sys.argv) > 2 else None,
+         sys.argv[3] if len(sys.argv) > 3 else None,
+         sys.argv[4] if len(sys.argv) > 4 else "reduced")

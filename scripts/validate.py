@@ -165,8 +165,7 @@ def suite():
         ("panda", mod("panda_reach").run, {}),
         ("heijn_reach", mod("mobile_reach").run, {"robot": "heijn"}),
         ("heijn_push", mod("mobile_push").run, {"robot": "heijn"}),
-        ("boxer_reach", mod("mobile_reach").run,
-         {"robot": "boxer", "overrides": ["mppi.horizon=24"]}),
+        ("boxer_reach", mod("mobile_reach").run, {"robot": "boxer"}),
         ("boxer_push", mod("mobile_push").run, {"robot": "boxer"}),
         # conf n_steps matches the reference's 10000; the suite gate caps the
         # episode at 1500 steps — the |b-g|<0.4 gate (see tasks/
