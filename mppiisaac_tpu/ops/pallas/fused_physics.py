@@ -67,6 +67,11 @@ class LaneView:
     def actor_pos(self, name):
         return self._root_pos[self.scene.actor_index(name)]
 
+    def actor_pos_by_index(self, ai: int):
+        """Root position by actor index — needed when several actors share a
+        name (multi-robot scenes, e.g. two `jackal` actors)."""
+        return self._root_pos[ai]
+
     def actor_quat(self, name):
         return self._root_quat[self.scene.actor_index(name)]
 

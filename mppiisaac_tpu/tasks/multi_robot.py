@@ -61,20 +61,91 @@ class MultiPointbotObjective(Objective):
         return fn
 
 
-def run(overrides=None, **kw):
+class MultiJackalObjective(Objective):
+    """Two diff-drive jackals drive to per-robot goals with a mutual-separation
+    term. The reference ships only the solver config for this scene
+    (`/root/reference/conf/mppi/multi-jackal.yaml` — 4 controls = (v, ω) per
+    robot); this runner makes the config executable. Diff-drive chassis pose
+    lives in root state (not dofs), so positions are read per actor index."""
+
+    def __init__(self, cfg=None, goals=((2.0, 1.0), (-0.5, 1.0)), min_sep=0.7):
+        self.goals = [np.asarray(g, dtype=np.float32) for g in goals]
+        self.min_sep = min_sep
+        self.weights = {"nav": 1.0, "separation": 3.0}
+
+    @staticmethod
+    def _robot_actor_indices(scene):
+        return [i for i, n in enumerate(scene.actor_names) if n == "jackal"]
+
+    def compute_cost(self, view: SimView) -> jnp.ndarray:
+        w = self.weights
+        idxs = self._robot_actor_indices(view.scene)
+        xys = [view.state.root_pos[..., i, :2] for i in idxs]
+        cost = 0.0
+        for xy, g in zip(xys, self.goals):
+            cost = cost + w["nav"] * jnp.linalg.norm(xy - g, axis=-1)
+        for i in range(len(xys)):
+            for j in range(i + 1, len(xys)):
+                d = jnp.linalg.norm(xys[i] - xys[j], axis=-1)
+                cost = cost + w["separation"] * jnp.maximum(self.min_sep - d, 0.0)
+        return cost
+
+    def kernel_cost(self, scene):
+        goals = [(float(g[0]), float(g[1])) for g in self.goals]
+        min_sep = float(self.min_sep)
+        idxs = self._robot_actor_indices(scene)
+
+        def fn(view, t):
+            w = self.weights
+            xys = []
+            for i in idxs:
+                p = view.actor_pos_by_index(i)
+                xys.append((p[0], p[1]))
+            cost = 0.0
+            for (x, y), (gx, gy) in zip(xys, goals):
+                cost = cost + w["nav"] * jnp.sqrt((x - gx) ** 2 + (y - gy) ** 2 + 1e-12)
+            for i in range(len(xys)):
+                for j in range(i + 1, len(xys)):
+                    d = jnp.sqrt(
+                        (xys[i][0] - xys[j][0]) ** 2 + (xys[i][1] - xys[j][1]) ** 2 + 1e-12
+                    )
+                    cost = cost + w["separation"] * jnp.maximum(min_sep - d, 0.0)
+            return cost
+
+        return fn
+
+
+def run(overrides=None, task="multi_pointbot", **kw):
     from ..runtime.loop import run_task
     from ..utils.config_store import load_config
 
-    cfg = load_config("tasks/multi_pointbot", overrides)
-    obj = MultiPointbotObjective(cfg)
+    cfg = load_config(f"tasks/{task}", overrides)
+    if task == "multi_jackal":
+        obj = MultiJackalObjective(cfg)
 
-    def success(world):
-        q = np.asarray(world.state.q[0])
-        d0 = np.linalg.norm(q[0:2] - obj.goals[0])
-        d1 = np.linalg.norm(q[3:5] - obj.goals[1])
-        return d0 < 0.2 and d1 < 0.2
+        def success(world):
+            scene = world.built.scene
+            idxs = MultiJackalObjective._robot_actor_indices(scene)
+            rp = np.asarray(world.state.root_pos[0])
+            return all(
+                np.linalg.norm(rp[i, :2] - g) < 0.25
+                for i, g in zip(idxs, obj.goals)
+            )
+    else:
+        obj = MultiPointbotObjective(cfg)
+
+        def success(world):
+            q = np.asarray(world.state.q[0])
+            d0 = np.linalg.norm(q[0:2] - obj.goals[0])
+            d1 = np.linalg.norm(q[3:5] - obj.goals[1])
+            return d0 < 0.2 and d1 < 0.2
 
     return run_task(cfg, obj, success_fn=success, **kw)
+
+
+def run_jackal(overrides=None, **kw):
+    """multi_jackal suite entry (verdict r3 item 8)."""
+    return run(overrides, task="multi_jackal", **kw)
 
 
 if __name__ == "__main__":

@@ -98,3 +98,15 @@ def test_multi_pointbot():
 
     m = multi_robot.run(overrides=OVR, randomize=False)
     assert m.steps >= 1
+
+
+def test_multi_jackal():
+    """The multi-jackal config is executable (r3 verdict item 8: the task yaml
+    existed but the runner hard-coded multi_pointbot). Two diff-drive robots,
+    4-dim joint control space (v, ω per robot —
+    reference `conf/mppi/multi-jackal.yaml`)."""
+    from mppiisaac_tpu.tasks import multi_robot
+
+    m = multi_robot.run_jackal(overrides=OVR, randomize=False)
+    assert m.steps >= 1
+    _assert_finite(m)
