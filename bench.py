@@ -63,26 +63,43 @@ def main():
     state0 = (planner.sim.state, planner._params_K)
     print(f"build: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
 
+    import jax.numpy as jnp
     import numpy as np
 
+    # pipelined measurement: CHUNK commands per dispatch via lax.scan — the
+    # same structure the real control loop runs (runtime/loop._build_chunk,
+    # device_steps). The r4 profile showed this tunnel's per-dispatch floor is
+    # ~3.7 ms, which a python-loop-of-dispatches benchmark cannot see past:
+    # it measures the tunnel, not the chip. The scanned loop measures the
+    # chip's sustained command rate.
+    CHUNK = 10
+
+    def _chunk(carry, _):
+        action, carry, _info = planner.mppi._command_impl(carry, state0)
+        return carry, jnp.sum(action)
+
+    run_chunk = jax.jit(
+        lambda c: jax.lax.scan(_chunk, c, None, length=CHUNK)
+    )
+
     t0 = time.perf_counter()
-    for _ in range(WARMUP):
-        a = planner.mppi._command(planner.mppi.carry, state0)
-    float(np.asarray(a[0]).sum())
+    carry, asum = run_chunk(planner.mppi.carry)
+    float(np.asarray(asum).sum())
     print(f"compile+warmup: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
 
-    carry = planner.mppi.carry
     t0 = time.perf_counter()
     for _ in range(ITERS):
-        action, carry, info = planner.mppi._command(carry, state0)
+        carry, asum = run_chunk(carry)
     # block_until_ready on this backend reports dispatch, not execution — a
     # host read is the documented way to truly synchronize before the clock
-    float(np.asarray(action).sum())
-    dt = (time.perf_counter() - t0) / ITERS
+    float(np.asarray(asum).sum())
+    dt = (time.perf_counter() - t0) / (ITERS * CHUNK)
 
     # per-command LATENCY (independent dispatches, each host-synced): what a
     # real-time control loop sees per step, including this backend's fixed
     # per-dispatch round-trip (~47 ms on the axon tunnel; ~0 on local chips)
+    a_l, _, _ = planner.mppi._command(carry, state0)   # compile outside clock
+    float(np.asarray(a_l).sum())
     t0 = time.perf_counter()
     for _ in range(5):
         a_l, _, _ = planner.mppi._command(carry, state0)
@@ -113,7 +130,8 @@ def main():
                 "metric": (
                     "panda_pick rollout env-steps/sec/chip "
                     f"(K=1000, H=30, fidelity={FIDELITY}, substeps={substeps}, "
-                    f"sweeps={sweeps}{', manifold=' + MANIFOLD if MANIFOLD else ''})"
+                    f"sweeps={sweeps}{', manifold=' + MANIFOLD if MANIFOLD else ''}, "
+                    "pipelined scan-10 like the device_steps control loop)"
                 ),
                 "value": round(env_steps, 0),
                 "unit": "env-steps/s",

@@ -18,8 +18,26 @@ def _enable_persistent_compile_cache():
     if loc == "0":
         return
     if not loc:
+        # fingerprint the cache dir by host CPU: XLA:CPU AOT artifacts bake in
+        # the compile machine's ISA features, and jax RELOADS mismatched
+        # entries with only a warning ("could lead to SIGILL") — a cache dir
+        # shared across heterogeneous hosts (driver vs build container) is
+        # silently poisonous. TPU entries are keyed by device target already,
+        # but live in the same dir, so fingerprint the whole thing.
+        try:
+            import hashlib
+
+            flags = ""
+            with open("/proc/cpuinfo") as fh:
+                for line in fh:
+                    if line.startswith("flags"):
+                        flags = " ".join(sorted(line.split(":")[1].split()))
+                        break
+            fp = hashlib.sha1(flags.encode()).hexdigest()[:10]
+        except Exception:
+            fp = "generic"
         loc = _os.path.join(
-            _os.path.expanduser("~"), ".cache", "mppiisaac_tpu", "jax"
+            _os.path.expanduser("~"), ".cache", "mppiisaac_tpu", f"jax-{fp}"
         )
     try:
         import jax

@@ -2,16 +2,30 @@
 
 Semantically IDENTICAL to the XLA engine (physics/stacked.py + contact.py):
 same FK, same world-frame Plücker CRBA/RNEA, same implicit drives, same
-compliant contact law, same integrator — unit tests compare the two paths
-state-for-state. The difference is purely representational: every scalar is an
-(8,128) tile of MPPI samples, every loop is unrolled python, so the WHOLE
-substep lowers to one straight-line VPU program inside a single kernel (the
-XLA path pays ~20µs of launch overhead per fusion on this backend; here the
-only launch is the enclosing rollout kernel).
+compliant contact law, same mass-splitting Jacobi impulse pass, same
+integrator — unit tests compare the two paths state-for-state. The difference
+is purely representational: every scalar is an (8,128) tile of MPPI samples.
+
+Round-4 restructure — PAIR-BLOCK BATCHING: the contact sections (narrowphase,
+penalty forces, implicit couple terms, impulse sweeps, stiction snap) used to
+be fully unrolled per CANDIDATE (~90-130 straight-line tile-ops × ~90-240
+candidates per substep). They are now batched per (kind, geom-pair) BLOCK: the
+S manifold samples of one pair ride a leading axis, so each block lowers to
+~50-100 vector ops on (S,8,128) arrays instead of S×that many scalar-tile ops.
+This cut the kernel's instruction count ~8-10×, which attacks both measured
+bottlenecks of the r3 profile (GS sweeps + narrowphase = 75% of kernel time;
+VPU instruction-issue bound) and the Mosaic compile blowup (864 s cold for the
+unrolled kernel).
+
+The impulse sweeps simultaneously switched from per-candidate Gauss–Seidel to
+the XLA engine's exact algorithm — mass-splitting Jacobi with per-body /
+per-actor active-contact counts and relax=0.9 (contact.impulse_contact_pass)
+— so the fused and XLA contact paths now share one convergence behavior.
 
 State layout (python dict of tiles / tuples of tiles):
   root_pos[a], root_quat[a], root_linvel[a], root_angvel[a]  per actor
   q[d], qd[d]                                                per actuated dof
+  lam (world fidelity): per swept block (lam_n (S,8,128), lam_t 3×(S,8,128))
 Extras produced per substep: body_pos/quat/linvel/angvel per body, net contact
 force per body (for cost terms).
 """
@@ -33,10 +47,9 @@ from ...physics.model import (
 from ...physics.urdf import GEOM_BOX, GEOM_CAPSULE
 from . import lanes as L
 
-# debug toggle: disable the articulated side of the GS sweeps (implicit couple
+# debug toggle: disable the articulated side of the sweeps (implicit couple
 # solve stays on) — lets tests bisect two-way-sweep regressions
 TWO_WAY_SWEEPS = True
-DEBUG_SWEEPS = False    # eager-mode per-candidate prints (tests only)
 
 
 def _t3(a):
@@ -154,11 +167,14 @@ def fk_lanes(scene, state):
 
 
 # ---------------------------------------------------------------------------
-# contacts (mirrors physics/contact.py candidate enumeration + force law)
+# contacts: static pair-block plan + batched narrowphase
+# (mirrors physics/contact.py candidate enumeration + force law)
 # ---------------------------------------------------------------------------
 
 def _point_to_box_lanes(point, box_pos, box_quat, half):
-    """Mirror of contact._point_to_box in component form."""
+    """Mirror of contact._point_to_box in component form. Shape-agnostic:
+    `point` components may carry a leading sample axis (S,8,128); the box pose
+    tiles broadcast."""
     lp = L.qrot_inv(box_quat, L.sub3(point, box_pos))
     cl = tuple(jnp.clip(lp[i], -half[i], half[i]) for i in range(3))
     ov = L.sub3(lp, cl)
@@ -205,9 +221,7 @@ def _segment_closest_lanes(p0, p1, q0, q1, eps=1e-9):
     return L.fma3(p0, d1, s), L.fma3(q0, d2, t)
 
 
-_BOX_CORNER_SIGNS = [(sx, sy, sz) for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)]
-from ...physics.contact import _BOX_SAMPLES, N_BOX_SAMPLES, N_BBC_SAMPLES  # noqa: E402
-
+from ...physics.contact import _BOX_SAMPLES, N_BOX_SAMPLES  # noqa: E402
 
 
 def _geom_pose(scene, g, pos, quat):
@@ -226,186 +240,197 @@ def _geom_segment(scene, g, pos, quat):
     return L.fma3(gp, axis, -hl), L.fma3(gp, axis, hl), r
 
 
-def _box_sample_point(scene, g, ci, pos, quat):
-    gp, gqq = _geom_pose(scene, g, pos, quat)
-    half = _t3(scene.geom_size[g])
-    sx, sy, sz = _BOX_SAMPLES[ci]
-    local = (float(sx) * half[0], float(sy) * half[1], float(sz) * half[2])
-    return L.add3(gp, L.qrot(gqq, local))
+def build_pair_blocks(scene, tables):
+    """Static contact plan: one block per (kind, geom-pair), each covering the
+    S manifold samples of that pair. Table row indices per block follow the
+    flat candidate order of physics/contact.py (sample-major within kinds), so
+    kn/mu/flags can be read off the flat tables — they are constant within a
+    block by construction (same pair → same bodies/materials).
+
+    Returns (blocks, sconst): box-sample local offsets are per-SAMPLE constant
+    vectors, which Pallas kernels cannot capture as array constants — they are
+    packed into one flat f32 table `sconst` (per block: [x·S, y·S, z·S] at
+    blk["sc_off"]) that the kernel receives broadcast to (SC, 8, 128) and
+    slices per block."""
+    blocks: List[dict] = []
+    sconst: List[float] = []
+    o = 0
+    ncp = len(tables.cp_geom)
+    nbp = len(tables.bp_geom)
+    ncc = len(tables.cc_a)
+    ncb = len(tables.cb_cap)
+    nbb = len(tables.bb_a)
+    nbbc = len(tables.bbc_a)
+
+    def add(kind, ga, gb, S, rows):
+        rows = np.asarray(rows, np.int64)
+        r0 = int(rows[0])
+        assert np.allclose(tables.kn_base[rows], tables.kn_base[r0])
+        assert np.allclose(tables.mu_base[rows], tables.mu_base[r0])
+        ga_geom = int(tables.con_geom_a[r0])
+        gb_geom = int(tables.con_geom_b[r0])
+        has_b = gb_geom >= 0
+        ba = int(scene.geom_body[ga_geom])
+        bb = int(scene.geom_body[gb_geom]) if has_b else -1
+        blk = dict(
+            kind=kind, ga=int(ga), gb=int(gb), S=int(S), rows=rows,
+            ga_geom=ga_geom, gb_geom=gb_geom, ba=ba, bb=bb, has_b=has_b,
+            kn=float(tables.kn_base[r0]),
+            kn_soft=float(tables.kn_base_soft[r0]),
+            mu0=float(tables.mu_base[r0]),
+            a_free=bool(tables.a_free[r0] > 0),
+            b_free=bool(has_b and tables.b_free[r0] > 0),
+            a_art=bool(tables.a_art[r0] > 0),
+            b_art=bool(has_b and tables.b_art[r0] > 0),
+            a_sta=bool(tables.a_sta[r0] > 0),
+            b_sta=bool(has_b and tables.b_sta[r0] > 0),
+        )
+        blk["swept"] = blk["a_free"] or blk["b_free"] or blk["a_sta"] or blk["b_sta"]
+        # box-sample offset table rows (bp/bbA/bbc sample ga's box; bbB gb's)
+        if kind in ("bp", "bbA", "bbB", "bbc"):
+            host = ga if kind != "bbB" else gb
+            sg = _BOX_SAMPLES[:S] * np.asarray(
+                _t3(scene.geom_size[host]), np.float32
+            )
+            blk["sc_off"] = len(sconst)
+            for i in range(3):
+                sconst.extend(float(v) for v in sg[:, i])
+        blocks.append(blk)
+
+    for p, g in enumerate(tables.cp_geom.tolist()):
+        add("cp", g, -1, 2, [o + w * ncp + p for w in range(2)])
+    o += 2 * ncp
+    for p, g in enumerate(tables.bp_geom.tolist()):
+        add("bp", g, -1, 8, [o + ci * nbp + p for ci in range(8)])
+    o += 8 * nbp
+    for p, (ga, gb) in enumerate(zip(tables.cc_a.tolist(), tables.cc_b.tolist())):
+        add("cc", ga, gb, 1, [o + p])
+    o += ncc
+    for p, (ga, gb) in enumerate(zip(tables.cb_cap.tolist(), tables.cb_box.tolist())):
+        add("cb", ga, gb, 3, [o + w * ncb + p for w in range(3)])
+    o += 3 * ncb
+    for p, (ga, gb) in enumerate(zip(tables.bb_a.tolist(), tables.bb_b.tolist())):
+        add("bbA", ga, gb, N_BOX_SAMPLES, [o + ci * nbb + p for ci in range(N_BOX_SAMPLES)])
+    o += N_BOX_SAMPLES * nbb
+    for p, (ga, gb) in enumerate(zip(tables.bb_a.tolist(), tables.bb_b.tolist())):
+        add("bbB", ga, gb, N_BOX_SAMPLES, [o + ci * nbb + p for ci in range(N_BOX_SAMPLES)])
+    o += N_BOX_SAMPLES * nbb
+    for p, (ga, gb) in enumerate(zip(tables.bbc_a.tolist(), tables.bbc_b.tolist())):
+        add("bbc", ga, gb, tables.bbc_samples,
+            [o + ci * nbbc + p for ci in range(tables.bbc_samples)])
+    o += tables.bbc_samples * nbbc
+    assert o == tables.n_con, (o, tables.n_con)
+    return blocks, np.asarray(sconst, np.float32)
 
 
-def candidate_geometry(scene, ga, gb, kind, extra, pos, quat):
-    """(point, normal, depth) for one static candidate descriptor, recomputed
-    from body poses — used by the impulse sweeps so per-candidate tiles never
-    stay live across the whole contact section (VMEM stack pressure)."""
-    if kind == "cp0":
-        (which,) = extra
-        p0, p1, r = _geom_segment(scene, ga, pos, quat)
-        pend = p0 if which == 0 else p1
+def pair_blocks(scene, tables):
+    """Cached build_pair_blocks (the plan is static per tables instance)."""
+    cached = getattr(tables, "_pair_blocks", None)
+    if cached is None:
+        cached = build_pair_blocks(scene, tables)
+        try:
+            tables._pair_blocks = cached
+        except Exception:
+            pass
+    return cached
+
+
+def _block_samples(blk, sconst):
+    """Per-axis (S,·,·) box-sample offsets sliced from the broadcast constant
+    table (kernel input — see build_pair_blocks)."""
+    o, S = blk["sc_off"], blk["S"]
+    return tuple(sconst[o + i * S : o + (i + 1) * S] for i in range(3))
+
+
+def block_geometry(scene, blk, pos, quat, sconst):
+    """(point, normal, depth) for one pair block, batched over its S manifold
+    samples: every component is (S, 8, 128) (normals may be float 3-tuples for
+    plane contacts — they broadcast). Mirrors the per-candidate formulas of
+    physics/contact.py narrowphase exactly."""
+    kind = blk["kind"]
+    if kind == "cp":
+        p0, p1, r = _geom_segment(scene, blk["ga"], pos, quat)
+        pend = tuple(jnp.stack([p0[i], p1[i]]) for i in range(3))   # (2,8,128)
         return (pend[0], pend[1], pend[2] - r), (0.0, 0.0, 1.0), r - pend[2]
     if kind == "bp":
-        (ci,) = extra
-        pt = _box_sample_point(scene, ga, ci, pos, quat)
+        gp, gq = _geom_pose(scene, blk["ga"], pos, quat)
+        pt = L.add3(gp, L.qrot(gq, _block_samples(blk, sconst)))
         return pt, (0.0, 0.0, 1.0), -pt[2]
     if kind == "cc":
-        pa0, pa1, ra = _geom_segment(scene, ga, pos, quat)
-        pb0, pb1, rb = _geom_segment(scene, gb, pos, quat)
+        pa0, pa1, ra = _geom_segment(scene, blk["ga"], pos, quat)
+        pb0, pb1, rb = _geom_segment(scene, blk["gb"], pos, quat)
         ca, cb = _segment_closest_lanes(pa0, pa1, pb0, pb1)
         delta = L.sub3(ca, cb)
         dist = L.norm3(delta, eps=0.0)
         normal = L.scale3(delta, 1.0 / jnp.maximum(dist, 1e-9))
         depth = (ra + rb) - dist
         point = L.fma3(cb, normal, rb - 0.5 * jnp.maximum(depth, 0.0))
-        return point, normal, depth
+        lift = lambda t3: tuple(c[None] for c in t3)    # noqa: E731  S=1 axis
+        return lift(point), lift(normal), depth[None]
     if kind == "cb":
-        (which,) = extra
-        p0, p1, r = _geom_segment(scene, ga, pos, quat)
-        gp_b, gq_b = _geom_pose(scene, gb, pos, quat)
-        half = _t3(scene.geom_size[gb])
-        if which == 0:
-            sp = p0
-        elif which == 1:
-            sp = p1
-        else:
-            sp, _ = _segment_closest_lanes(p0, p1, gp_b, gp_b)
+        p0, p1, r = _geom_segment(scene, blk["ga"], pos, quat)
+        gp_b, gq_b = _geom_pose(scene, blk["gb"], pos, quat)
+        half = _t3(scene.geom_size[blk["gb"]])
+        sp2, _ = _segment_closest_lanes(p0, p1, gp_b, gp_b)
+        sp = tuple(jnp.stack([p0[i], p1[i], sp2[i]]) for i in range(3))  # (3,8,128)
         n_w, depth_c, surf = _point_to_box_lanes(sp, gp_b, gq_b, half)
         return surf, n_w, depth_c + r
     if kind in ("bbA", "bbc"):
-        (ci,) = extra
-        pt = _box_sample_point(scene, ga, ci, pos, quat)
-        gp_b, gq_b = _geom_pose(scene, gb, pos, quat)
-        n_w, depth_c, surf = _point_to_box_lanes(pt, gp_b, gq_b, _t3(scene.geom_size[gb]))
+        gp_a, gq_a = _geom_pose(scene, blk["ga"], pos, quat)
+        gp_b, gq_b = _geom_pose(scene, blk["gb"], pos, quat)
+        pt = L.add3(gp_a, L.qrot(gq_a, _block_samples(blk, sconst)))
+        n_w, depth_c, surf = _point_to_box_lanes(pt, gp_b, gq_b, _t3(scene.geom_size[blk["gb"]]))
         return surf, n_w, depth_c
-    # bbB
-    (ci,) = extra
-    pt = _box_sample_point(scene, gb, ci, pos, quat)
-    gp_a, gq_a = _geom_pose(scene, ga, pos, quat)
-    n_w, depth_c, surf = _point_to_box_lanes(pt, gp_a, gq_a, _t3(scene.geom_size[ga]))
+    # bbB: samples of gb against box ga, reported in (a−b) normal convention
+    gp_a, gq_a = _geom_pose(scene, blk["ga"], pos, quat)
+    gp_b, gq_b = _geom_pose(scene, blk["gb"], pos, quat)
+    pt = L.add3(gp_b, L.qrot(gq_b, _block_samples(blk, sconst)))
+    n_w, depth_c, surf = _point_to_box_lanes(pt, gp_a, gq_a, _t3(scene.geom_size[blk["ga"]]))
     return surf, (-n_w[0], -n_w[1], -n_w[2]), depth_c
 
 
-def contacts_lanes(scene, tables, pos, quat, linv, angv, fric_scale, dt_sub):
-    """→ (plk_n[b], plk_f[b] Plücker force 3-tuples, net_cf[b], free_cands).
+def _sum_s(x):
+    """Reduce a (S,8,128) component (or float 0.0) over the sample axis."""
+    return x if isinstance(x, float) else jnp.sum(x, axis=0)
 
-    free_cands: per-candidate geometry for candidates touching a FREE rigid
-    body — consumed by the in-kernel Gauss–Seidel impulse sweeps."""
+
+def _sum_s3(t3):
+    return tuple(_sum_s(c) for c in t3)
+
+
+def contacts_lanes(scene, tables, pos, quat, linv, angv, fric_scale, dt_sub,
+                   sconst=None):
+    """→ (plk_n[b], plk_f[b] Plücker force 3-tuples, net_cf[b], swept_geo).
+
+    swept_geo: list of (block, (point, normal, depth)) for blocks touching a
+    FREE rigid body or an articulated stiction link — consumed by the in-kernel
+    mass-splitting Jacobi impulse sweeps. Geometry is computed ONCE here and
+    reused by every consumer in dynamics_lanes.
+
+    sconst: the box-sample offset table (see build_pair_blocks), broadcast to
+    (SC, ·, ·) — a kernel INPUT because Pallas cannot capture array constants.
+    None falls back to the host-built table (XLA/interpret contexts)."""
     B = scene.nbody
     tau_c = max(2.0 * dt_sub, 1e-3)
     zeta = 1.0
-    geom_used = sorted(
-        set(tables.con_geom_a.tolist()) | {g for g in tables.con_geom_b.tolist() if g >= 0}
-    )
-    gpos: Dict = {}
-    gquat: Dict = {}
-    seg: Dict = {}
-    corners: Dict = {}
-    for g in geom_used:
-        b = int(scene.geom_body[g])
-        off = _t3(scene.geom_pos[g])
-        gq = _t4(scene.geom_quat[g])
-        gp = L.add3(pos[b], L.qrot(quat[b], off))
-        gqq = L.qmul(quat[b], gq)
-        gpos[g], gquat[g] = gp, gqq
-        gt = int(scene.geom_type[g])
-        size = scene.geom_size[g]
-        if gt == GEOM_BOX:
-            half = _t3(size)
-            cs = []
-            for sx, sy, sz in _BOX_SAMPLES:      # 26 samples; [:8] = corners
-                local = (float(sx) * half[0], float(sy) * half[1], float(sz) * half[2])
-                cs.append(L.add3(gp, L.qrot(gqq, local)))
-            corners[g] = cs
-        else:
-            r = float(size[0])
-            hl = float(size[1]) if gt == GEOM_CAPSULE else 0.0
-            axis = L.qrot(gqq, (0.0, 0.0, 1.0))
-            seg[g] = (L.fma3(gp, axis, -hl), L.fma3(gp, axis, hl), r)
-
-    # per-candidate (point, normal, depth) in table order
-    cands = []   # (point, normal, depth)
-    for which in (0, 1):
-        for g in tables.cp_geom.tolist():
-            cands.append((None, g, -1, "cp0", (which,)))
-    for ci in range(8):
-        for g in tables.bp_geom.tolist():
-            cands.append((None, g, -1, "bp", (ci,)))
-    for ga, gb in zip(tables.cc_a.tolist(), tables.cc_b.tolist()):
-        cands.append((None, ga, gb, "cc", ()))
-    for which in range(3):
-        for ga, gb in zip(tables.cb_cap.tolist(), tables.cb_box.tolist()):
-            cands.append((None, ga, gb, "cb", (which,)))
-    for ci in range(N_BOX_SAMPLES):
-        for ga, gb in zip(tables.bb_a.tolist(), tables.bb_b.tolist()):
-            cands.append((None, ga, gb, "bbA", (ci,)))
-    for ci in range(N_BOX_SAMPLES):
-        for ga, gb in zip(tables.bb_a.tolist(), tables.bb_b.tolist()):
-            cands.append((None, ga, gb, "bbB", (ci,)))
-    for ci in range(tables.bbc_samples):
-        for ga, gb in zip(tables.bbc_a.tolist(), tables.bbc_b.tolist()):
-            cands.append((None, ga, gb, "bbc", (ci,)))
-    assert len(cands) == tables.n_con, (len(cands), tables.n_con)
+    blocks, sconst_np = pair_blocks(scene, tables)
+    if sconst is None:
+        sconst = jnp.asarray(sconst_np).reshape(-1, 1, 1) if len(sconst_np) \
+            else jnp.zeros((1, 1, 1), jnp.float32)
 
     plk_n = [(0.0, 0.0, 0.0)] * B
     plk_f = [(0.0, 0.0, 0.0)] * B
     net_cf = [(0.0, 0.0, 0.0)] * B
-    free_cands = []
+    swept_geo = []
+    eps_v = float(scene.friction_smoothing_vel)
+    dcap = float(scene.max_contact_depth)
 
-    for idx, (_, ga, gb, kind, extra) in enumerate(cands):
-        if kind == "cp0":
-            (which,) = extra
-            p0, p1, r = seg[ga]
-            pend = p0 if which == 0 else p1
-            depth = r - pend[2]
-            normal = (0.0, 0.0, 1.0)
-            point = (pend[0], pend[1], pend[2] - r)
-        elif kind == "bp":
-            (ci,) = extra
-            pt = corners[ga][ci]
-            depth = -pt[2]
-            normal = (0.0, 0.0, 1.0)
-            point = pt
-        elif kind == "cc":
-            pa0, pa1, ra = seg[ga]
-            pb0, pb1, rb = seg[gb]
-            ca, cb = _segment_closest_lanes(pa0, pa1, pb0, pb1)
-            delta = L.sub3(ca, cb)
-            dist = L.norm3(delta, eps=0.0)
-            inv = 1.0 / jnp.maximum(dist, 1e-9)
-            normal = L.scale3(delta, inv)
-            depth = (ra + rb) - dist
-            point = L.fma3(cb, normal, rb - 0.5 * jnp.maximum(depth, 0.0))
-        elif kind == "cb":
-            (which,) = extra
-            p0, p1, r = seg[ga]
-            half = _t3(scene.geom_size[gb])
-            if which == 0:
-                sp = p0
-            elif which == 1:
-                sp = p1
-            else:
-                bc = gpos[gb]
-                sp, _ = _segment_closest_lanes(p0, p1, bc, bc)
-            n_w, depth_c, surf = _point_to_box_lanes(sp, gpos[gb], gquat[gb], half)
-            normal, depth, point = n_w, depth_c + r, surf
-        elif kind in ("bbA", "bbc"):
-            (ci,) = extra
-            half = _t3(scene.geom_size[gb])
-            n_w, depth_c, surf = _point_to_box_lanes(corners[ga][ci], gpos[gb], gquat[gb], half)
-            normal, depth, point = n_w, depth_c, surf
-        else:  # bbB
-            (ci,) = extra
-            half = _t3(scene.geom_size[ga])
-            n_w, depth_c, surf = _point_to_box_lanes(corners[gb][ci], gpos[ga], gquat[ga], half)
-            normal, depth, point = (-n_w[0], -n_w[1], -n_w[2]), depth_c, surf
-
-        ba = int(scene.geom_body[tables.con_geom_a[idx]])
-        gb_idx = int(tables.con_geom_b[idx])
-        has_b = gb_idx >= 0
-        bb = int(scene.geom_body[gb_idx]) if has_b else -1
-        mu0 = float(tables.mu_base[idx])
-        fa = fric_scale[int(tables.con_geom_a[idx])]
-        fb = fric_scale[gb_idx] if has_b else fa
-        mu = mu0 * 0.5 * (fa + fb)
+    for blk in blocks:
+        point, normal, depth = block_geometry(scene, blk, pos, quat, sconst)
+        ba, bb, has_b = blk["ba"], blk["bb"], blk["has_b"]
+        fa = fric_scale[blk["ga_geom"]]
+        fb = fric_scale[blk["gb_geom"]] if has_b else fa
+        mu = blk["mu0"] * 0.5 * (fa + fb)
 
         va = L.add3(linv[ba], L.cross3(angv[ba], L.sub3(point, pos[ba])))
         if has_b:
@@ -417,8 +442,7 @@ def contacts_lanes(scene, tables, pos, quat, linv, angv, fric_scale, dt_sub):
         vt = L.sub3(v_rel, L.scale3(normal, vn))
         vt_norm = L.norm3(vt, eps=0.0)
         active = depth > 0.0
-        depth_cl = jnp.minimum(depth, float(scene.max_contact_depth))
-        eps_v = float(scene.friction_smoothing_vel)
+        depth_cl = jnp.minimum(depth, dcap)
 
         def force_with(kn_base):
             kn = kn_base / (tau_c * tau_c)
@@ -434,51 +458,28 @@ def contacts_lanes(scene, tables, pos, quat, linv, angv, fric_scale, dt_sub):
         # articulated velocity solve (dynamics_lanes), exactly as the world
         # engine does (an explicit stiff spring on a gram-scale finger is
         # unconditionally unstable)
-        kb = float(tables.kn_base[idx])
-        kb_soft = float(tables.kn_base_soft[idx])
-        a_is_free = float(tables.a_free[idx]) > 0
-        b_is_free = has_b and float(tables.b_free[idx]) > 0
-        a_is_art = float(tables.a_art[idx]) > 0
-        b_is_art = has_b and float(tables.b_art[idx]) > 0
-        a_is_sta = float(tables.a_sta[idx]) > 0
-        b_is_sta = has_b and float(tables.b_sta[idx]) > 0
-        force_a, fn_a = force_with(kb_soft if a_is_free else kb)
+        force_a, _ = force_with(blk["kn_soft"] if blk["a_free"] else blk["kn"])
         if has_b:
-            if b_is_free == a_is_free:
-                force_b, fn_b = force_a, fn_a
+            if blk["b_free"] == blk["a_free"]:
+                force_b = force_a
             else:
-                force_b, fn_b = force_with(kb_soft if b_is_free else kb)
-        nO_a = L.cross3(point, force_a)
+                force_b, _ = force_with(blk["kn_soft"] if blk["b_free"] else blk["kn"])
 
-        if not a_is_art:
-            plk_n[ba] = L.add3(plk_n[ba], nO_a)
-            plk_f[ba] = L.add3(plk_f[ba], force_a)
-            net_cf[ba] = L.add3(net_cf[ba], force_a)
-        if has_b and not b_is_art:
-            nO_b = L.cross3(point, force_b)
-            plk_n[bb] = L.sub3(plk_n[bb], nO_b)
-            plk_f[bb] = L.sub3(plk_f[bb], force_b)
-            net_cf[bb] = L.sub3(net_cf[bb], force_b)
-        if a_is_free or b_is_free or a_is_sta or b_is_sta:
-            # geo = this substep's (point, normal, depth), computed ONCE here
-            # and reused by every consumer in dynamics_lanes (implicit couple
-            # terms, act-count, warm start, GS sweeps, stiction snap — round 1
-            # recomputed it up to 6× per substep). 7 live tiles × ~100
-            # candidates ≈ 3 MB VMEM through the sweep loop — affordable now
-            # that the reduced manifold shrank the candidate set ~2×
-            free_cands.append(
-                dict(ga=ga, gb=gb, kind=kind, extra=extra, idx=idx,
-                     geo=(point, normal, depth),
-                     ga_geom=int(tables.con_geom_a[idx]),
-                     gb_geom=int(tables.con_geom_b[idx]),
-                     kn_stiff=float(tables.kn_base[idx]),
-                     mu0=float(tables.mu_base[idx]),
-                     ba=ba, bb=bb, has_b=has_b,
-                     a_free=a_is_free, b_free=b_is_free,
-                     a_art=a_is_art, b_art=b_is_art,
-                     a_sta=a_is_sta, b_sta=b_is_sta)
-            )
-    return plk_n, plk_f, net_cf, free_cands
+        if not blk["a_art"]:
+            fA = _sum_s3(force_a)
+            nA = _sum_s3(L.cross3(point, force_a))
+            plk_n[ba] = L.add3(plk_n[ba], nA)
+            plk_f[ba] = L.add3(plk_f[ba], fA)
+            net_cf[ba] = L.add3(net_cf[ba], fA)
+        if has_b and not blk["b_art"]:
+            fB = _sum_s3(force_b)
+            nB = _sum_s3(L.cross3(point, force_b))
+            plk_n[bb] = L.sub3(plk_n[bb], nB)
+            plk_f[bb] = L.sub3(plk_f[bb], fB)
+            net_cf[bb] = L.sub3(net_cf[bb], fB)
+        if blk["swept"]:
+            swept_geo.append((blk, (point, normal, depth)))
+    return plk_n, plk_f, net_cf, swept_geo
 
 
 # ---------------------------------------------------------------------------
@@ -524,20 +525,48 @@ def _mat6vec(M6, v):
     return tuple(sum(M6[i][j] * v[j] for j in range(6)) for i in range(6))
 
 
+def _skew_cols(r):
+    """skew(r) entries as a nested tuple S[i][j] with exact zeros on the
+    diagonal (r components may carry a sample axis)."""
+    return (
+        (0.0, -r[2], r[1]),
+        (r[2], 0.0, -r[0]),
+        (-r[1], r[0], 0.0),
+    )
+
+
+def _quad(Kf, d3):
+    """max(dᵀKd, floor) for (K, floor) from the per-block inverse-mass."""
+    K, floor = Kf
+    q = (
+        d3[0] * d3[0] * K[0][0]
+        + d3[1] * d3[1] * K[1][1]
+        + d3[2] * d3[2] * K[2][2]
+        + 2.0 * (
+            d3[0] * d3[1] * K[0][1]
+            + d3[0] * d3[2] * K[0][2]
+            + d3[1] * d3[2] * K[1][2]
+        )
+    )
+    return jnp.maximum(q, floor)
+
+
 def dynamics_lanes(scene, masks_list, state, pos, quat, linv, angv, axis_w,
-                   plk_n, plk_f, mass_scale, dt, free_cands=None,
+                   plk_n, plk_f, mass_scale, dt, swept_geo=None,
                    impulse_sweeps=2, fric_scale=None,
                    world_fidelity=False):
     """Implicit velocity update + integration for every dynamic actor.
     masks_list: per-actor ActorMasks (from physics.dynamics.build_actor_masks).
     mass_scale: list of per-body tiles (or floats). Mutates/returns new state dict.
 
+    swept_geo: list of (pair block, (point, normal, depth)) from contacts_lanes
+    — the impulse-pass workload, batched over each block's manifold samples.
+
     world_fidelity=True (the fused WORLD step; K=1 so VMEM is plentiful)
-    upgrades the impulse sweeps to the world engine's full treatment:
-    per-candidate VECTOR tangential impulses with exact cone projection,
-    PhysX-style warm starting from state["lam"] (persisting across substeps
-    and control steps), and the post-sweep stiction snap — a held grasp drifts
-    mm/s off the pads without these (see contact.impulse_contact_pass)."""
+    adds PhysX-style warm starting from state["lam"] (persisting across
+    substeps and control steps) and the post-sweep stiction snap — a held
+    grasp drifts mm/s off the pads without these (see
+    contact.impulse_contact_pass)."""
     new_state = dict(state)
     deferred = []            # free single-body actors awaiting impulse pass
     new_q = list(state["q"])
@@ -546,29 +575,27 @@ def dynamics_lanes(scene, masks_list, state, pos, quat, linv, angv, axis_w,
     new_rq = list(state["root_quat"])
     new_rlv = list(state["root_linvel"])
     new_rav = list(state["root_angvel"])
+    swept_geo = swept_geo or []
 
-    # couple contacts (articulated↔free, i.e. grasping): route candidates to
+    # couple contacts (articulated↔free, i.e. grasping): route blocks to
     # their articulated actor. The articulated side got NO explicit penalty in
     # contacts_lanes; it enters the velocity solve IMPLICITLY (Baraff JᵀJ
-    # terms) and the GS sweeps TWO-WAY (joint-space effective mass Ψ) —
+    # terms) and the impulse sweeps TWO-WAY (joint-space effective mass Ψ) —
     # mirroring physics/stacked.py + contact.impulse_contact_pass.
     couple_by_actor: Dict[int, list] = {}
     sta_bodies_by_actor: Dict[int, set] = {}
-    if free_cands:
-        for c in free_cands:
-            if c.get("a_art") or c.get("b_art"):
-                art_b = c["ba"] if c["a_art"] else c["bb"]
-                aid = int(scene.body_actor[art_b])
-                cc = dict(c)
-                cc["art_body"] = art_b
-                cc["e"] = 1.0 if c["a_art"] else -1.0
-                couple_by_actor.setdefault(aid, []).append(cc)
-            # art↔static stiction candidates need the actor's Ψ/factor too
-            # (friction-only — they add NO implicit normal terms)
-            if c.get("a_sta") or c.get("b_sta"):
-                art_b = c["ba"] if c["a_sta"] else c["bb"]
-                aid = int(scene.body_actor[art_b])
-                sta_bodies_by_actor.setdefault(aid, set()).add(art_b)
+    for blk, geo in swept_geo:
+        if blk["a_art"] or blk["b_art"]:
+            art_b = blk["ba"] if blk["a_art"] else blk["bb"]
+            aid = int(scene.body_actor[art_b])
+            e = 1.0 if blk["a_art"] else -1.0
+            couple_by_actor.setdefault(aid, []).append((blk, geo, art_b, e))
+        # art↔static stiction blocks need the actor's Ψ/factor too
+        # (friction-only — they add NO implicit normal terms)
+        if blk["a_sta"] or blk["b_sta"]:
+            art_b = blk["ba"] if blk["a_sta"] else blk["bb"]
+            aid = int(scene.body_actor[art_b])
+            sta_bodies_by_actor.setdefault(aid, set()).add(art_b)
     # per-actor solve context kept live for the sweeps (factored mass matrix,
     # generalized velocities, subspaces) — integration deferred for these
     art_ctx: Dict[int, dict] = {}
@@ -635,7 +662,6 @@ def dynamics_lanes(scene, masks_list, state, pos, quat, linv, angv, axis_w,
                 u[base + kdof] = state["qd"][do + kdof]
 
         # bias forces (RNEA qdd=0, free-fall trick)
-        g_lin = (0.0, 0.0, 9.8) if not art.disable_gravity else (0.0, 0.0, 0.0)
         gz = float(-scene.gravity[2])
         g_lin = (0.0, 0.0, gz) if not art.disable_gravity else (0.0, 0.0, 0.0)
         a_sp = [None] * nb
@@ -737,39 +763,46 @@ def dynamics_lanes(scene, masks_list, state, pos, quat, linv, angv, axis_w,
             # implicit couple-contact terms (grasping — see stacked_substep):
             #   M += dt(kd+κ)·JᵀJ,  rhs += dt·Jᵀ(e·kn·d⁺ + (kd+κ)·v_oth_n)
             # with J_j = X·S_j over ancestor coords of the contact link,
-            # X = (p×n, n), κ = dt·kn
-            for c in cpl:
-                pt, n, depth_raw = c["geo"]
+            # X = (p×n, n), κ = dt·kn — batched over each block's S samples
+            # and reduced with one sum per (i, j) coordinate pair.
+            for blk, geo, art_b, e in cpl:
+                pt, n, depth_raw = geo
                 depth_c = jnp.minimum(depth_raw, float(scene.max_contact_depth))
                 act = (depth_c > 0.0).astype(jnp.float32)
-                lb = c["art_body"] - bo               # local link index
+                lb = art_b - bo               # local link index
                 X6 = (*L.cross3(pt, n), *n)
-                Jc = [None] * nv
                 sub_coords = [j for j in range(nv) if m.subtree[j, lb]]
+                Jc = {}
                 for j in sub_coords:
                     Jc[j] = sum(X6[r] * S[j][r] for r in range(6))
-                kn_c = c["kn_stiff"] / (tau_c_g * tau_c_g)
-                kd_c = 2.0 * c["kn_stiff"] / tau_c_g
+                kn_c = blk["kn"] / (tau_c_g * tau_c_g)
+                kd_c = 2.0 * blk["kn"] / tau_c_g
                 kap = dt * kn_c
-                ob = c["bb"] if c["a_art"] else c["ba"]
+                ob = blk["bb"] if blk["a_art"] else blk["ba"]
                 v_oth = L.add3(linv[ob], L.cross3(angv[ob], L.sub3(pt, pos[ob])))
                 v_oth_n = L.dot3(v_oth, n)
                 coefM = dt * (kd_c + kap) * act
-                coefR = dt * (c["e"] * kn_c * jnp.maximum(depth_c, 0.0)
+                coefR = dt * (e * kn_c * jnp.maximum(depth_c, 0.0)
                               + (kd_c + kap) * v_oth_n) * act
                 for i in sub_coords:
-                    rhs[i] = rhs[i] + coefR * Jc[i]
+                    rhs[i] = rhs[i] + jnp.sum(coefR * Jc[i], axis=0)
+                    MJi = coefM * Jc[i]
                     for j in sub_coords:
-                        Msolve[i][j] = Msolve[i][j] + coefM * Jc[i] * Jc[j]
+                        if j < i:
+                            continue
+                        v = jnp.sum(MJi * Jc[j], axis=0)
+                        Msolve[i][j] = Msolve[i][j] + v
+                        if j != i:
+                            Msolve[j][i] = Msolve[j][i] + v
 
         if cpl or sta_bodies:
             L_chol = L.cholesky_factor(Msolve)
             u_new = L.cholesky_solve_factored(L_chol, rhs)
             # joint-space operational inverse inertia Ψ_b = Φ_b M⁻¹ Φ_bᵀ per
-            # contact link (consumed by the two-way GS sweeps)
+            # contact link (consumed by the two-way impulse sweeps)
             psi_by_body = {}
             art_bodies = sorted(
-                {c["art_body"] for c in (cpl or [])} | (sta_bodies or set())
+                {cb for (_, _, cb, _) in (cpl or [])} | (sta_bodies or set())
             )
             for b_g in art_bodies:
                 lb = b_g - bo
@@ -818,17 +851,18 @@ def dynamics_lanes(scene, masks_list, state, pos, quat, linv, angv, axis_w,
             new_q[dglob] = qk
             new_qd[dglob] = qd_k
 
-    # ---- Gauss–Seidel impulse sweeps for free rigid bodies (in-kernel
-    # analog of contact.impulse_contact_pass; GS converges in ~2 sweeps where
-    # Jacobi needs ~16, and sequential updates are free in straight-line code).
-    # Articulated couple sides participate TWO-WAY: per-candidate velocity
-    # updates through the per-link Ψ, plus an EXACT generalized fold-back
-    # ΔU = M⁻¹ΦᵀY at the end of every sweep (the per-link Ψ alone misses the
-    # cross-finger coupling that grasp capture depends on).
-    if free_cands and impulse_sweeps > 0 and (deferred or art_ctx):
-        beta, slop = 0.2, 2e-3
+    # ---- mass-splitting Jacobi impulse sweeps for free rigid bodies — the
+    # in-kernel twin of contact.impulse_contact_pass, batched per pair block.
+    # Same algorithm as the XLA engine: per-body/per-actor active-contact
+    # counts split each contact's effective mass, relax=0.9, impulses applied
+    # at sweep END from a frozen velocity snapshot (Jacobi). Articulated
+    # couple/stiction sides participate TWO-WAY via Ψ in the effective mass
+    # and an EXACT generalized fold-back ΔU = M⁻¹ΦᵀY per sweep.
+    if swept_geo and impulse_sweeps > 0 and (deferred or art_ctx):
+        beta, slop, relax = 0.2, 2e-3, 0.9
         dcap = float(scene.max_contact_depth)
         tau_c = max(2.0 * dt, 1e-3)
+        nblk = len(swept_geo)
         body2actor = {scene.body_offset[a_]: a_ for a_ in deferred}
         inv_m = {}
         invIw = {}
@@ -847,163 +881,151 @@ def dynamics_lanes(scene, masks_list, state, pos, quat, linv, angv, axis_w,
             for b_g in ctx["art_bodies"]:
                 body_actor_art[b_g] = aid
 
-        # active-candidate count per articulated ACTOR (contact geometry is
-        # constant across sweeps, so count once per substep). The sweeps'
-        # per-link Ψ updates make candidates on different links blind to each
-        # other within a sweep — Jacobi across legs — and unsplit impulses
-        # over-correct the shared floating base into a runaway slide (the
-        # same failure the world engine's per-actor n_eff prevents). The
-        # art-side effective mass is inflated by this count instead.
-        art_act_count: Dict[int, object] = {}
-        if body_actor_art:
-            for c in free_cands:
-                art_side_c = (c.get("a_art") or c.get("b_art")
-                              or c.get("a_sta") or c.get("b_sta"))
-                if not art_side_c:
-                    continue
-                b_g = c["ba"] if (c.get("a_art") or c.get("a_sta")) else c["bb"]
-                aid = body_actor_art[b_g]
-                d_raw = c["geo"][2]
-                act_c = (jnp.minimum(d_raw, dcap) > 0.0).astype(jnp.float32)
-                art_act_count[aid] = art_act_count.get(aid, 0.0) + act_c
-            for aid in list(art_act_count):
-                art_act_count[aid] = jnp.maximum(art_act_count[aid], 1.0)
+        # per-block static routing + per-substep invariants: activity masks,
+        # active-contact counts (geometry is fixed within a substep, so the
+        # XLA pass's per-iteration counts are constants here), friction
+        # coefficient, contact-space inverse-mass matrices
+        blk_act = []            # (S,8,128) activity per block
+        blk_mu = []
+        for blk, geo in swept_geo:
+            d_c = jnp.minimum(geo[2], dcap)
+            blk_act.append((d_c > 0.0).astype(jnp.float32))
+            fa_ = fric_scale[blk["ga_geom"]] if fric_scale is not None else 1.0
+            fb_ = (fric_scale[blk["gb_geom"]] if blk["has_b"] else fa_) if fric_scale is not None else 1.0
+            blk_mu.append(blk["mu0"] * 0.5 * (fa_ + fb_))
 
-        def _inv_mass_matrix(c):
-            """3×3 contact-space inverse-mass matrix K: the effective inverse
-            mass along ANY unit direction d is dᵀKd — free sides contribute
-            1/m·I₃ + r̃ᵀ(I_w)⁻¹r̃ (r̃ = skew(p−com)), the articulated/static
-            side count·GᵀΨG with G = [p̃; I₃]. Geometry, masses and Ψ are all
-            fixed within a substep, so K is SWEEP-INVARIANT: computing it once
-            here replaces the old per-direction `_eff_inv_mass` recomputation
-            (~40-80 tile ops per candidate per sweep) with a 15-op quadratic
-            form in the sweep body — exact, not an approximation. (Reusing the
-            NORMAL's scalar for the tangent would under-count rotational
-            coupling — 200 vs 605 for a pad-held sphere — which is why the
-            full matrix is cached, not a scalar.)"""
-            pt = c["geo"][0]
-            is_sta_c = bool(c.get("a_sta") or c.get("b_sta"))
+        count_body: Dict[int, object] = {}     # free bodies: Σ active
+        count_act: Dict[int, object] = {}      # art actors: Σ active (art/sta)
+        for si, (blk, geo) in enumerate(swept_geo):
+            act_sum = _sum_s(blk_act[si])
+            for b2, fr2 in ((blk["ba"], blk["a_free"]), (blk["bb"], blk["b_free"])):
+                if fr2:
+                    count_body[b2] = count_body.get(b2, 0.0) + act_sum
+            if blk["a_art"] or blk["b_art"] or blk["a_sta"] or blk["b_sta"]:
+                b_g = blk["ba"] if (blk["a_art"] or blk["a_sta"]) else blk["bb"]
+                aid = body_actor_art[b_g]
+                count_act[aid] = count_act.get(aid, 0.0) + act_sum
+
+        def _inv_mass_block(blk, geo):
+            """3×3 contact-space inverse-mass matrix K per sample: the
+            effective inverse mass along ANY unit direction d is dᵀKd — free
+            sides contribute 1/m·I₃ + skew(r)ᵀ(I_w)⁻¹skew(r), articulated /
+            static sides GᵀΨG with G = [skew(p); I₃]. Geometry, masses and Ψ
+            are fixed within a substep → computed once, reused every sweep.
+            Unlike the old GS kernel, the active-contact count is NOT folded
+            in here — it splits the impulse itself (n_eff), matching the XLA
+            pass exactly."""
+            pt = geo[0]
             is_cpl = (
-                bool(c.get("a_art") or c.get("b_art")) or is_sta_c
+                blk["a_art"] or blk["b_art"] or blk["a_sta"] or blk["b_sta"]
             ) and TWO_WAY_SWEEPS
-            art_is_a = bool(c.get("a_art") or c.get("a_sta"))
+            art_is_a = blk["a_art"] or blk["a_sta"]
             K = [[1e-9 if i == j else 0.0 for j in range(3)] for i in range(3)]
-            for b2, fr2 in ((c["ba"], c["a_free"]), (c["bb"], c["b_free"])):
+            for b2, fr2 in ((blk["ba"], blk["a_free"]), (blk["bb"], blk["b_free"])):
                 if not fr2:
                     continue
                 r2 = L.sub3(pt, state["root_pos"][body2actor[b2]])
-                # skew(r): S[i][j]; columns have 2 nonzeros each
-                S = [
-                    [0.0, -r2[2], r2[1]],
-                    [r2[2], 0.0, -r2[0]],
-                    [-r2[1], r2[0], 0.0],
-                ]
+                sk = _skew_cols(r2)
                 Iw2 = invIw[b2]
-                # T = I_w⁻¹ · S  (exploit S's zeros)
+                # T = I_w⁻¹ · skew(r)  (diagonal of skew is exactly zero)
                 T = [
-                    [sum(Iw2[i][k2] * S[k2][j] for k2 in range(3) if not isinstance(S[k2][j], float) or S[k2][j] != 0.0)
-                     for j in range(3)]
+                    [Iw2[i][1] * sk[1][0] + Iw2[i][2] * sk[2][0],
+                     Iw2[i][0] * sk[0][1] + Iw2[i][2] * sk[2][1],
+                     Iw2[i][0] * sk[0][2] + Iw2[i][1] * sk[1][2]]
                     for i in range(3)
                 ]
                 for a in range(3):
                     K[a][a] = K[a][a] + inv_m[b2]
                     for b3 in range(a, 3):
+                        # K += skewᵀ T — skew's col a has zeros at row a
                         K[a][b3] = K[a][b3] + sum(
-                            S[i][a] * T[i][b3] for i in range(3)
-                            if not isinstance(S[i][a], float) or S[i][a] != 0.0
+                            sk[i][a] * T[i][b3] for i in range(3) if i != a
                         )
             if is_cpl:
-                b2 = c["ba"] if art_is_a else c["bb"]
-                aid2 = body_actor_art[b2]
-                psi2 = art_ctx[aid2]["psi"][b2]
-                cnt = art_act_count.get(aid2, 1.0)
-                P = [
-                    [0.0, -pt[2], pt[1]],
-                    [pt[2], 0.0, -pt[0]],
-                    [-pt[1], pt[0], 0.0],
-                ]
-                # V[r][b] = Σ_s Ψ[r][s]·G[s][b],  G = [P; I₃]
+                b2 = blk["ba"] if art_is_a else blk["bb"]
+                psi2 = art_ctx[body_actor_art[b2]]["psi"][b2]
+                P = _skew_cols(pt)
+                # V[r][b] = Σ_s Ψ[r][s]·P[s][b] + Ψ[r][3+b]
                 V = [
-                    [sum(psi2[r][s] * P[s][b3] for s in range(3)
-                         if not isinstance(P[s][b3], float) or P[s][b3] != 0.0)
-                     + psi2[r][3 + b3]
-                     for b3 in range(3)]
+                    [psi2[r][1] * P[1][0] + psi2[r][2] * P[2][0] + psi2[r][3],
+                     psi2[r][0] * P[0][1] + psi2[r][2] * P[2][1] + psi2[r][4],
+                     psi2[r][0] * P[0][2] + psi2[r][1] * P[1][2] + psi2[r][5]]
                     for r in range(6)
                 ]
                 for a in range(3):
+                    ridx = [i for i in range(3) if i != a]
                     for b3 in range(a, 3):
-                        gpg = sum(
-                            P[r][a] * V[r][b3] for r in range(3)
-                            if not isinstance(P[r][a], float) or P[r][a] != 0.0
-                        ) + V[3 + a][b3]
-                        K[a][b3] = K[a][b3] + cnt * gpg
+                        gpg = (P[ridx[0]][a] * V[ridx[0]][b3]
+                               + P[ridx[1]][a] * V[ridx[1]][b3]
+                               + V[3 + a][b3])
+                        K[a][b3] = K[a][b3] + gpg
             for a in range(3):          # mirror the upper triangle
                 for b3 in range(a + 1, 3):
                     K[b3][a] = K[a][b3]
-            # direction-independent floor = what the old per-direction code
-            # returned for a DEGENERATE (zero) direction: 1e-9 + Σ free-side
-            # 1/m. Real directions are unit vectors, for which dᵀKd ≥ floor
-            # automatically (the rotational/Ψ terms are PSD) — the floor only
-            # engages on zero normals (e.g. a box contact whose witness point
-            # sits exactly on the face-center symmetry plane: sign(0)=0 zeroes
-            # the normal), where quad=0 would otherwise divide to ±inf.
+            # direction-independent floor: what a DEGENERATE (zero) direction
+            # must see so quad() never divides to ±inf (e.g. a box contact
+            # whose witness point sits exactly on a face-center symmetry
+            # plane: sign(0)=0 zeroes the normal). Real unit directions give
+            # dᵀKd ≥ floor automatically (the rotational/Ψ terms are PSD).
             floor = 1e-9
-            for b2, fr2 in ((c["ba"], c["a_free"]), (c["bb"], c["b_free"])):
+            for b2, fr2 in ((blk["ba"], blk["a_free"]), (blk["bb"], blk["b_free"])):
                 if fr2:
                     floor = floor + inv_m[b2]
             return K, floor
 
-        def _quad(Kf, d3):
-            """max(dᵀKd, floor) for (K, floor) from _inv_mass_matrix."""
-            K, floor = Kf
-            q = (
-                d3[0] * d3[0] * K[0][0]
-                + d3[1] * d3[1] * K[1][1]
-                + d3[2] * d3[2] * K[2][2]
-                + 2.0 * (
-                    d3[0] * d3[1] * K[0][1]
-                    + d3[0] * d3[2] * K[0][2]
-                    + d3[1] * d3[2] * K[1][2]
-                )
-            )
-            return jnp.maximum(q, floor)
-
-        K_cache = [_inv_mass_matrix(c) for c in free_cands]
+        K_cache = [_inv_mass_block(blk, geo) for blk, geo in swept_geo]
         k_n_cache = [
-            None if (c.get("a_sta") or c.get("b_sta"))
-            else _quad(K_cache[ci], c["geo"][1])
-            for ci, c in enumerate(free_cands)
+            _quad(K_cache[si], geo[1]) for si, (blk, geo) in enumerate(swept_geo)
         ]
+        # per-block n_eff (a per-env tile): count over BOTH free sides plus
+        # the articulated ACTOR's count (feet couple through a shared floating
+        # base — per-body counts would let the base take ~4× the correction)
+        n_eff_blk = []
+        for si, (blk, geo) in enumerate(swept_geo):
+            ne = 0.0
+            for b2, fr2 in ((blk["ba"], blk["a_free"]), (blk["bb"], blk["b_free"])):
+                if fr2:
+                    ne = ne + count_body[b2]
+            if blk["a_art"] or blk["b_art"] or blk["a_sta"] or blk["b_sta"]:
+                b_g = blk["ba"] if (blk["a_art"] or blk["a_sta"]) else blk["bb"]
+                ne = ne + count_act[body_actor_art[b_g]]
+            n_eff_blk.append(jnp.maximum(ne, 1.0))
 
-        # ---- rolled sweep loop: the body compiles ONCE (lax.fori_loop) ----
-        # An unrolled 8-sweep loop over hundreds of candidates exploded
-        # compile time (25 min on the panda_pick scene). The carry packs every
-        # sweep-mutable tile: deferred free-actor velocities, per-candidate
-        # accumulators, and each couple actor's generalized velocities.
+        # per-block fn_seed coefficients (friction-cone seeding from the
+        # implicit/penalty normal force the velocity solve applied)
+        def _fn_seed(si, vn):
+            blk, geo = swept_geo[si]
+            depth = jnp.minimum(geo[2], dcap)
+            if blk["a_sta"] or blk["b_sta"]:
+                kn_c = blk["kn"] / (tau_c * tau_c)
+                kd_c = 2.0 * blk["kn"] / tau_c
+                return jnp.maximum(kn_c * jnp.maximum(depth, 0.0) - kd_c * vn, 0.0)
+            if (blk["a_art"] or blk["b_art"]) and TWO_WAY_SWEEPS:
+                kn_c = blk["kn"] / (tau_c * tau_c)
+                kd_c = 2.0 * blk["kn"] / tau_c
+                return jnp.maximum(
+                    kn_c * jnp.maximum(depth, 0.0) - (kd_c + dt * kn_c) * vn, 0.0
+                )
+            if blk["has_b"] and (blk["a_free"] != blk["b_free"]):
+                return (blk["kn"] / (tau_c * tau_c)) * jnp.maximum(depth, 0.0)
+            return 0.0
+
         defer_list = list(deferred)
         couple_aids = sorted(art_ctx)
-        n_fc = len(free_cands)
         zero_t = jnp.zeros_like(state["root_pos"][0][0])
 
         def _tile(x):
             return x + zero_t if isinstance(x, float) else x
 
-        def _pack_carry(rlv, rav, ln, lt, unew):
-            # PYTREE carry (round-3 perf): the old packed-rows carry paid a
-            # jnp.stack of every row + per-row slicing on EVERY sweep — pure
-            # data movement rivaling the sweep math itself. With a pytree of
-            # individual tiles the fori_loop carries each buffer by reference
-            # and the pack/unpack ops vanish. Floats (never-touched slots) are
-            # canonicalized to tiles so the carry structure is iteration-
-            # invariant.
+        def _zero_s(si):
+            return jnp.zeros_like(blk_act[si])
+
+        def _pack_carry(rlv, rav, unew, ln, lt):
             c_rlv = tuple(tuple(_tile(v) for v in rlv[ai2]) for ai2 in defer_list)
             c_rav = tuple(tuple(_tile(v) for v in rav[ai2]) for ai2 in defer_list)
             c_u = tuple(tuple(_tile(v) for v in unew[aid]) for aid in couple_aids)
-            c_ln = tuple(_tile(v) for v in ln)
-            if world_fidelity:
-                c_lt = tuple(tuple(_tile(t3[i]) for i in range(3)) for t3 in lt)
-            else:
-                c_lt = tuple(_tile(v) for v in lt)
+            c_ln = tuple(ln)
+            c_lt = tuple(tuple(t3) for t3 in lt)
             return (c_rlv, c_rav, c_u, c_ln, c_lt)
 
         def _unpack_carry(carry):
@@ -1011,14 +1033,58 @@ def dynamics_lanes(scene, masks_list, state, pos, quat, linv, angv, axis_w,
             rlv = {ai2: c_rlv[k] for k, ai2 in enumerate(defer_list)}
             rav = {ai2: c_rav[k] for k, ai2 in enumerate(defer_list)}
             unew = {aid: list(c_u[k]) for k, aid in enumerate(couple_aids)}
-            ln = list(c_ln)
-            lt = [tuple(t3) for t3 in c_lt] if world_fidelity else list(c_lt)
-            return rlv, rav, ln, lt, unew
+            return rlv, rav, unew, list(c_ln), [tuple(t3) for t3 in c_lt]
+
+        def _apply_block_impulses(si, imp, dP, dT, Y_body):
+            """Accumulate one block's summed impulses onto its free bodies
+            (Δp, Δτ about each body's root) and articulated links (Y6)."""
+            blk, geo = swept_geo[si]
+            pt = geo[0]
+            for b, fr, sgn in ((blk["ba"], blk["a_free"], 1.0), (blk["bb"], blk["b_free"], -1.0)):
+                if not fr:
+                    continue
+                ai2 = body2actor[b]
+                si3 = L.scale3(imp, sgn)
+                dP[ai2] = L.add3(dP[ai2], _sum_s3(si3))
+                r = L.sub3(pt, state["root_pos"][ai2])
+                dT[ai2] = L.add3(dT[ai2], _sum_s3(L.cross3(r, si3)))
+            if (blk["a_art"] or blk["b_art"] or blk["a_sta"] or blk["b_sta"]) and TWO_WAY_SWEEPS:
+                art_is_a = blk["a_art"] or blk["a_sta"]
+                b_g = blk["ba"] if art_is_a else blk["bb"]
+                si3 = L.scale3(imp, 1.0 if art_is_a else -1.0)
+                Yc = (*_sum_s3(L.cross3(pt, si3)), *_sum_s3(si3))
+                Yb = Y_body[b_g]
+                for r in range(6):
+                    Yb[r] = Yb[r] + Yc[r]
+
+        def _commit_deltas(dP, dT, Y_body, new_rlv, new_rav, unew_by):
+            """Jacobi end-of-sweep apply: free-body velocity updates from the
+            accumulated impulse sums, exact generalized fold-back per couple
+            actor: u += M⁻¹ΦᵀY."""
+            for ai2 in defer_list:
+                b = scene.body_offset[ai2]
+                new_rlv[ai2] = L.fma3(new_rlv[ai2], dP[ai2], inv_m[b])
+                tor = dT[ai2]
+                dang = tuple(sum(invIw[b][i][j] * tor[j] for j in range(3)) for i in range(3))
+                new_rav[ai2] = L.add3(new_rav[ai2], dang)
+            for aid in couple_aids:
+                ctx = art_ctx[aid]
+                S_l, m_l, bo_l, nv_l = ctx["S"], ctx["m"], ctx["bo"], ctx["nv"]
+                rhsY = [0.0] * nv_l
+                for b_g in ctx["art_bodies"]:
+                    lb = b_g - bo_l
+                    Yb = Y_body[b_g]
+                    for j in range(nv_l):
+                        if m_l.subtree[j, lb]:
+                            rhsY[j] = rhsY[j] + sum(S_l[j][r] * Yb[r] for r in range(6))
+                dU = L.cholesky_solve_factored(ctx["L_chol"], rhsY)
+                unew_by[aid] = [unew_by[aid][j] + dU[j] for j in range(nv_l)]
+            return new_rlv, new_rav, unew_by
 
         def _sweep_body(_, carry):
-            new_rlv, new_rav, lam_n, lam_t_acc, unew_by = _unpack_carry(carry)
-            # live post-solve spatial velocities (ω, v_O) of articulated
-            # contact links, refreshed from the carried u at sweep start
+            new_rlv, new_rav, unew_by, lam_n, lam_t = _unpack_carry(carry)
+            # frozen velocity snapshot for this sweep (Jacobi): post-solve
+            # spatial velocities (ω, v_O) of articulated contact links
             v6_art: Dict[int, list] = {}
             for aid in couple_aids:
                 ctx = art_ctx[aid]
@@ -1033,6 +1099,8 @@ def dynamics_lanes(scene, masks_list, state, pos, quat, linv, angv, axis_w,
                                 v6[r] = v6[r] + S_l[j][r] * u_l[j]
                     v6_art[b_g] = v6
             Y_body = {b_g: [0.0] * 6 for b_g in body_actor_art}
+            dP = {ai2: (0.0, 0.0, 0.0) for ai2 in defer_list}
+            dT = {ai2: (0.0, 0.0, 0.0) for ai2 in defer_list}
 
             def body_vel_at(b, point):
                 if b in body2actor:
@@ -1043,197 +1111,96 @@ def dynamics_lanes(scene, masks_list, state, pos, quat, linv, angv, axis_w,
                     return L.add3((v6[3], v6[4], v6[5]), L.cross3((v6[0], v6[1], v6[2]), point))
                 return L.add3(linv[b], L.cross3(angv[b], L.sub3(point, pos[b])))
 
-            for ci, c in enumerate(free_cands):
-                pt, n, depth_raw = c["geo"]
+            for si, (blk, geo) in enumerate(swept_geo):
+                pt, n, depth_raw = geo
                 depth = jnp.minimum(depth_raw, dcap)
-                active = depth > 0.0
+                active = blk_act[si] > 0.0
                 target = jnp.minimum(beta * jnp.maximum(depth - slop, 0.0) / dt, 0.5)
-                va = body_vel_at(c["ba"], pt)
-                vb = body_vel_at(c["bb"], pt) if c["has_b"] else (0.0, 0.0, 0.0)
+                va = body_vel_at(blk["ba"], pt)
+                vb = body_vel_at(blk["bb"], pt) if blk["has_b"] else (0.0, 0.0, 0.0)
                 v_rel = L.sub3(va, vb)
                 vn = L.dot3(v_rel, n)
-                is_sta_c = bool(c.get("a_sta") or c.get("b_sta"))
-                is_cpl = (
-                    bool(c.get("a_art") or c.get("b_art")) or is_sta_c
-                ) and TWO_WAY_SWEEPS
-                art_is_a = bool(c.get("a_art") or c.get("a_sta"))
+                is_sta_b = blk["a_sta"] or blk["b_sta"]
+                n_eff = n_eff_blk[si]
 
-                if is_sta_c:
+                if is_sta_b:
                     # art↔static: FRICTION-ONLY (normal carried by the stiff
                     # penalty — an impulse on top would double the support)
                     imp = (0.0, 0.0, 0.0)
                 else:
-                    k_n = k_n_cache[ci]
-                    d_lam = jnp.where(active, -(vn - target) / k_n, 0.0)
-                    new_lam = jnp.maximum(lam_n[ci] + d_lam, 0.0)
-                    d_imp = new_lam - lam_n[ci]
-                    lam_n[ci] = new_lam
-                    imp = L.scale3(n, d_imp)
-                # friction (cone-projected accumulated tangential impulse)
+                    d_lam = jnp.where(
+                        active, -(vn - target) / (k_n_cache[si] * n_eff) * relax, 0.0
+                    )
+                    new_lam = jnp.maximum(lam_n[si] + d_lam, 0.0)
+                    d_impulse = new_lam - lam_n[si]
+                    lam_n[si] = new_lam
+                    imp = L.scale3(n, d_impulse)
+                # friction: tangential impulse against the same frozen
+                # snapshot, n_eff-split, vector cone projection on the
+                # ACCUMULATED impulse (identical to impulse_contact_pass —
+                # stiction must converge tightly or a grasped object drifts
+                # through the pads)
                 vt = L.sub3(v_rel, L.scale3(n, vn))
                 vt_n = L.norm3(vt, eps=1e-9)
                 t_dir = L.scale3(vt, 1.0 / vt_n)
-                k_t = _quad(K_cache[ci], t_dir)
-                jt_try = tuple(jnp.where(active, -vt[i] / k_t, 0.0) for i in range(3))
-                jt_norm = L.norm3(jt_try, eps=0.0)
-                # friction cone: couple candidates are seeded with the
-                # IMPLICIT contact's normal force (fn = kn·d − (kd+κ)·vn, the
-                # same law the velocity solve applied — matches the world
-                # engine's fn_star seeding)
-                if is_sta_c:
-                    # cone seed = the stiff penalty's normal force on the
-                    # articulated side (the law contacts_lanes applied)
-                    kn_c = c["kn_stiff"] / (tau_c * tau_c)
-                    kd_c = 2.0 * c["kn_stiff"] / tau_c
-                    fn_seed = jnp.maximum(
-                        kn_c * jnp.maximum(depth, 0.0) - kd_c * vn, 0.0
-                    )
-                elif is_cpl:
-                    kn_c = c["kn_stiff"] / (tau_c * tau_c)
-                    kd_c = 2.0 * c["kn_stiff"] / tau_c
-                    fn_seed = jnp.maximum(
-                        kn_c * jnp.maximum(depth, 0.0) - (kd_c + dt * kn_c) * vn, 0.0
-                    )
-                elif c["has_b"] and (c["a_free"] != c["b_free"]):
-                    fn_seed = (c["kn_stiff"] / (tau_c * tau_c)) * jnp.maximum(depth, 0.0)
-                else:
-                    fn_seed = 0.0
-                fa_ = fric_scale[c["ga_geom"]] if fric_scale is not None else 1.0
-                fb_ = (fric_scale[c["gb_geom"]] if c["has_b"] else fa_) if fric_scale is not None else 1.0
-                mu_c = c["mu0"] * 0.5 * (fa_ + fb_)
-                cap = mu_c * (lam_n[ci] + fn_seed * dt)
-                if world_fidelity:
-                    # exact vector cone projection on the ACCUMULATED
-                    # tangential impulse (identical to the world engine's
-                    # impulse_contact_pass — stiction must converge tightly
-                    # or a grasped object drifts through the pads)
-                    lam_t_new = L.add3(lam_t_acc[ci], jt_try)
-                    ltn = L.norm3(lam_t_new, eps=1e-9)
-                    sc = jnp.minimum(1.0, cap / ltn)
-                    lam_t_proj = L.scale3(lam_t_new, sc)
-                    jt = L.sub3(lam_t_proj, lam_t_acc[ci])
-                    lam_t_acc[ci] = lam_t_proj
-                else:
-                    cap_left = jnp.maximum(cap - lam_t_acc[ci], 0.0)
-                    sc = jnp.minimum(1.0, cap_left / jnp.maximum(jt_norm, 1e-9))
-                    jt = L.scale3(jt_try, sc)
-                    lam_t_acc[ci] = lam_t_acc[ci] + jt_norm * sc
+                k_t = _quad(K_cache[si], t_dir)
+                jt_try = tuple(
+                    jnp.where(active, -vt[i] / (k_t * n_eff), 0.0) for i in range(3)
+                )
+                fn_seed = _fn_seed(si, vn)
+                cap = blk_mu[si] * (lam_n[si] + fn_seed * dt)
+                lam_t_new = L.add3(lam_t[si], jt_try)
+                ltn = L.norm3(lam_t_new, eps=1e-9)
+                sc = jnp.minimum(1.0, cap / ltn)
+                lam_t_proj = L.scale3(lam_t_new, sc)
+                jt = L.sub3(lam_t_proj, lam_t[si])
+                lam_t[si] = lam_t_proj
                 imp = L.add3(imp, jt)
-                if DEBUG_SWEEPS:
-                    print(
-                        f"  cand {ci} {c['kind']}{c['extra']} ga{c['ga']} gb{c['gb']} "
-                        f"d={float(depth[0,0]):+.4f} vn={float(vn[0,0]):+.3f} "
-                        f"k_n={float(k_n[0,0]) if hasattr(k_n,'shape') else k_n:.1f} "
-                        f"dlam={float(d_imp[0,0]):+.5f} "
-                        f"jt=({float(jt[0][0,0]):+.5f},{float(jt[1][0,0]):+.5f},{float(jt[2][0,0]):+.5f}) "
-                        f"cap={float(cap[0,0]):.4f}"
-                    )
-                for b, fr, sgn in ((c["ba"], c["a_free"], 1.0), (c["bb"], c["b_free"], -1.0)):
-                    if not fr:
-                        continue
-                    ai2 = body2actor[b]
-                    si = L.scale3(imp, sgn)
-                    new_rlv[ai2] = L.fma3(new_rlv[ai2], si, inv_m[b])
-                    r = L.sub3(pt, state["root_pos"][ai2])
-                    tor = L.cross3(r, si)
-                    dang = tuple(sum(invIw[b][i][j] * tor[j] for j in range(3)) for i in range(3))
-                    new_rav[ai2] = L.add3(new_rav[ai2], dang)
-                if is_cpl:
-                    # articulated reaction: spatial impulse about the origin
-                    b_g = c["ba"] if art_is_a else c["bb"]
-                    si = L.scale3(imp, 1.0 if art_is_a else -1.0)
-                    Yc = (*L.cross3(pt, si), *si)
-                    Yb = Y_body[b_g]
-                    for r in range(6):
-                        Yb[r] = Yb[r] + Yc[r]
-                    # immediate per-link velocity update (GS freshness)
-                    psi = art_ctx[body_actor_art[b_g]]["psi"][b_g]
-                    dV = [sum(psi[r][cc_] * Yc[cc_] for cc_ in range(6)) for r in range(6)]
-                    v6 = v6_art[b_g]
-                    v6_art[b_g] = [v6[r] + dV[r] for r in range(6)]
-            # exact generalized fold-back per couple actor: u += M⁻¹ΦᵀY
-            for aid in couple_aids:
-                ctx = art_ctx[aid]
-                S_l, m_l, bo_l, nv_l = ctx["S"], ctx["m"], ctx["bo"], ctx["nv"]
-                rhsY = [0.0] * nv_l
-                for b_g in ctx["art_bodies"]:
-                    lb = b_g - bo_l
-                    Yb = Y_body[b_g]
-                    for j in range(nv_l):
-                        if m_l.subtree[j, lb]:
-                            rhsY[j] = rhsY[j] + sum(S_l[j][r] * Yb[r] for r in range(6))
-                dU = L.cholesky_solve_factored(ctx["L_chol"], rhsY)
-                unew_by[aid] = [unew_by[aid][j] + dU[j] for j in range(nv_l)]
-            return _pack_carry(new_rlv, new_rav, lam_n, lam_t_acc, unew_by)
+                _apply_block_impulses(si, imp, dP, dT, Y_body)
 
-        # per-candidate accumulators persisting across sweeps: the normal
-        # impulse λ_n (≥ 0 projection) and the tangential impulse — a vector
-        # with exact cone projection in world_fidelity mode, a scalar
-        # magnitude bound otherwise (without either, each sweep re-applies
-        # friction up to the full cone and total friction can reach sweeps×
-        # the cone in sliding regimes).
-        lam0_n = [0.0] * n_fc
-        lam0_t = [(0.0, 0.0, 0.0) if world_fidelity else 0.0] * n_fc
+            new_rlv, new_rav, unew_by = _commit_deltas(
+                dP, dT, Y_body, new_rlv, new_rav, unew_by
+            )
+            return _pack_carry(new_rlv, new_rav, unew_by, lam_n, lam_t)
+
+        # λ accumulators persisting across sweeps (and, at world fidelity,
+        # across substeps/control steps through state["lam"]): normal impulse
+        # λ_n (≥ 0 projection) + vector tangential impulse with exact cone
+        # projection — both fidelity modes now share the XLA pass's treatment.
         lam_warm = state.get("lam") if world_fidelity else None
         if lam_warm is not None:
             # PhysX-style persistent-contact warm start: re-apply last
             # substep's converged impulses on currently-active candidates,
-            # then let the sweeps correct the (small) error. Candidates are a
-            # static table, so row ci is always the same pair.
-            Yw_body = {b_g: [0.0] * 6 for b_g in body_actor_art}
-            for ci, c in enumerate(free_cands):
-                pt, n, depth_raw = c["geo"]
-                act = (jnp.minimum(depth_raw, dcap) > 0.0).astype(jnp.float32)
-                lnw = lam_warm[ci][0] * act
-                ltw = tuple(lam_warm[ci][1 + i] * act for i in range(3))
-                lam0_n[ci] = lnw
-                lam0_t[ci] = ltw
-                imp = L.add3(L.scale3(n, lnw), ltw)
-                for b, fr, sgn in ((c["ba"], c["a_free"], 1.0), (c["bb"], c["b_free"], -1.0)):
-                    if not fr:
-                        continue
-                    ai2 = body2actor[b]
-                    si = L.scale3(imp, sgn)
-                    new_rlv[ai2] = L.fma3(new_rlv[ai2], si, inv_m[b])
-                    r = L.sub3(pt, state["root_pos"][ai2])
-                    tor = L.cross3(r, si)
-                    dang = tuple(sum(invIw[b][i][j] * tor[j] for j in range(3)) for i in range(3))
-                    new_rav[ai2] = L.add3(new_rav[ai2], dang)
-                if c.get("a_art") or c.get("b_art") or c.get("a_sta") or c.get("b_sta"):
-                    art_a_ = bool(c.get("a_art") or c.get("a_sta"))
-                    b_g = c["ba"] if art_a_ else c["bb"]
-                    si = L.scale3(imp, 1.0 if art_a_ else -1.0)
-                    Yc = (*L.cross3(pt, si), *si)
-                    Yb = Yw_body[b_g]
-                    for r in range(6):
-                        Yb[r] = Yb[r] + Yc[r]
-            # exact generalized response of the warm impulses on the arms
-            for aid in couple_aids:
-                ctx = art_ctx[aid]
-                S_l, m_l, bo_l, nv_l = ctx["S"], ctx["m"], ctx["bo"], ctx["nv"]
-                rhsY = [0.0] * nv_l
-                for b_g in ctx["art_bodies"]:
-                    lb = b_g - bo_l
-                    Yb = Yw_body[b_g]
-                    for j in range(nv_l):
-                        if m_l.subtree[j, lb]:
-                            rhsY[j] = rhsY[j] + sum(S_l[j][r] * Yb[r] for r in range(6))
-                dU = L.cholesky_solve_factored(ctx["L_chol"], rhsY)
-                ctx["u_new"] = [ctx["u_new"][j] + dU[j] for j in range(nv_l)]
-
-        carry0 = _pack_carry(
-            {ai2: new_rlv[ai2] for ai2 in defer_list},
-            {ai2: new_rav[ai2] for ai2 in defer_list},
-            lam0_n, lam0_t,
-            {aid: art_ctx[aid]["u_new"] for aid in couple_aids},
-        )
-        if DEBUG_SWEEPS:
-            carry = carry0
-            for s_ in range(impulse_sweeps):   # eager, printable
-                carry = _sweep_body(s_, carry)
+            # then let the sweeps correct the (small) error. Blocks are a
+            # static table, so row si is always the same pair.
+            lam0_n = []
+            lam0_t = []
+            Yw = {b_g: [0.0] * 6 for b_g in body_actor_art}
+            dPw = {ai2: (0.0, 0.0, 0.0) for ai2 in defer_list}
+            dTw = {ai2: (0.0, 0.0, 0.0) for ai2 in defer_list}
+            for si, (blk, geo) in enumerate(swept_geo):
+                wn, wt = lam_warm[si]
+                act = blk_act[si]
+                lnw = wn * act
+                ltw = tuple(wt[i] * act for i in range(3))
+                lam0_n.append(lnw)
+                lam0_t.append(ltw)
+                imp = L.add3(L.scale3(geo[1], lnw), ltw)
+                _apply_block_impulses(si, imp, dPw, dTw, Yw)
+            unew0 = {aid: art_ctx[aid]["u_new"] for aid in couple_aids}
+            rlv0 = {ai2: new_rlv[ai2] for ai2 in defer_list}
+            rav0 = {ai2: new_rav[ai2] for ai2 in defer_list}
+            rlv0, rav0, unew0 = _commit_deltas(dPw, dTw, Yw, rlv0, rav0, unew0)
         else:
-            carry = jax.lax.fori_loop(0, impulse_sweeps, _sweep_body, carry0)
-        rlv_f, rav_f, lamf_n, lamf_t, unew_f = _unpack_carry(carry)
+            lam0_n = [_zero_s(si) for si in range(nblk)]
+            lam0_t = [(_zero_s(si), _zero_s(si), _zero_s(si)) for si in range(nblk)]
+            unew0 = {aid: art_ctx[aid]["u_new"] for aid in couple_aids}
+            rlv0 = {ai2: new_rlv[ai2] for ai2 in defer_list}
+            rav0 = {ai2: new_rav[ai2] for ai2 in defer_list}
+
+        carry0 = _pack_carry(rlv0, rav0, unew0, lam0_n, lam0_t)
+        carry = jax.lax.fori_loop(0, impulse_sweeps, _sweep_body, carry0)
+        rlv_f, rav_f, unew_f, lamf_n, lamf_t = _unpack_carry(carry)
         for ai2 in defer_list:
             new_rlv[ai2] = rlv_f[ai2]
             new_rav[ai2] = rav_f[ai2]
@@ -1241,8 +1208,7 @@ def dynamics_lanes(scene, masks_list, state, pos, quat, linv, angv, axis_w,
             art_ctx[aid]["u_new"] = unew_f[aid]
         if world_fidelity:
             new_state["lam"] = [
-                (lamf_n[ci], lamf_t[ci][0], lamf_t[ci][1], lamf_t[ci][2])
-                for ci in range(n_fc)
+                (lamf_n[si], tuple(lamf_t[si])) for si in range(nblk)
             ]
 
         if world_fidelity and body_actor_art:
@@ -1266,33 +1232,29 @@ def dynamics_lanes(scene, masks_list, state, pos, quat, linv, angv, axis_w,
                     v6f[b_g] = v6
             A_by: Dict[int, list] = {}
             b_by: Dict[int, list] = {}
-            for ci, c in enumerate(free_cands):
-                if not (c.get("a_art") or c.get("b_art")):
+            for si, (blk, geo) in enumerate(swept_geo):
+                if not (blk["a_art"] or blk["b_art"]):
                     continue
-                pt, n, depth_raw = c["geo"]
-                depth = jnp.minimum(depth_raw, dcap)
-                act = (depth > 0.0).astype(jnp.float32)
-                b_art_g = c["ba"] if c["a_art"] else c["bb"]
-                b_free_g = c["bb"] if c["a_art"] else c["ba"]
-                e_snap = -1.0 if c["a_art"] else 1.0   # +1 when the FREE body is side a
+                pt, n, depth_raw = geo
+                act = blk_act[si]
+                b_art_g = blk["ba"] if blk["a_art"] else blk["bb"]
+                b_free_g = blk["bb"] if blk["a_art"] else blk["ba"]
+                e_snap = -1.0 if blk["a_art"] else 1.0   # +1 when FREE is side a
                 ai2 = body2actor[b_free_g]
                 v_free = L.add3(new_rlv[ai2], L.cross3(new_rav[ai2], L.sub3(pt, state["root_pos"][ai2])))
                 v6 = v6f[b_art_g]
                 v_art = L.add3((v6[3], v6[4], v6[5]), L.cross3((v6[0], v6[1], v6[2]), pt))
                 # v_rel in candidate (a−b) order
-                v_rel = L.sub3(v_art, v_free) if c["a_art"] else L.sub3(v_free, v_art)
-                # sticking: strictly inside the cone
+                v_rel = L.sub3(v_art, v_free) if blk["a_art"] else L.sub3(v_free, v_art)
                 vn_f = L.dot3(v_rel, n)
-                kn_c = c["kn_stiff"] / (tau_c * tau_c)
-                kd_c = 2.0 * c["kn_stiff"] / tau_c
+                kn_c = blk["kn"] / (tau_c * tau_c)
+                kd_c = 2.0 * blk["kn"] / tau_c
                 fn_imp = jnp.maximum(
-                    kn_c * jnp.maximum(depth, 0.0) - (kd_c + dt * kn_c) * vn_f, 0.0
+                    kn_c * jnp.maximum(jnp.minimum(depth_raw, dcap), 0.0)
+                    - (kd_c + dt * kn_c) * vn_f, 0.0
                 )
-                fa_ = fric_scale[c["ga_geom"]] if fric_scale is not None else 1.0
-                fb_ = (fric_scale[c["gb_geom"]] if c["has_b"] else fa_) if fric_scale is not None else 1.0
-                mu_c = c["mu0"] * 0.5 * (fa_ + fb_)
-                cap_f = mu_c * (lamf_n[ci] + fn_imp * dt)
-                lt_n = L.norm3(lamf_t[ci], eps=0.0)
+                cap_f = blk_mu[si] * (lamf_n[si] + fn_imp * dt)
+                lt_n = L.norm3(lamf_t[si], eps=0.0)
                 w_st = act * (lt_n < 0.98 * cap_f).astype(jnp.float32)
                 r_free = L.sub3(pt, state["root_pos"][ai2])
                 # X (3,6): point-velocity map of the free body, ξ=(Δω, Δv)
@@ -1313,9 +1275,11 @@ def dynamics_lanes(scene, masks_list, state, pos, quat, linv, angv, axis_w,
                 A_c = A_by[b_free_g]
                 b_c = b_by[b_free_g]
                 for i in range(6):
-                    b_c[i] = b_c[i] - w_st * sum(X[k2][i] * Pv[k2] for k2 in range(3))
+                    b_c[i] = b_c[i] - _sum_s(w_st * sum(X[k2][i] * Pv[k2] for k2 in range(3)))
                     for j in range(6):
-                        A_c[i][j] = A_c[i][j] + w_st * sum(X[k2][i] * PX[k2][j] for k2 in range(3))
+                        A_c[i][j] = A_c[i][j] + _sum_s(
+                            w_st * sum(X[k2][i] * PX[k2][j] for k2 in range(3))
+                        )
             for b_free_g, A_c in A_by.items():
                 ai2 = body2actor[b_free_g]
                 A_reg = [[A_c[i][j] + (1e-4 if i == j else 0.0) for j in range(6)] for i in range(6)]
@@ -1369,24 +1333,24 @@ def dynamics_lanes(scene, masks_list, state, pos, quat, linv, angv, axis_w,
 
 def substep_lanes(scene, tables, masks_list, state, fric_scale, mass_scale, dt,
                   impulse_sweeps=2, world_fidelity=False,
-                  skip_contacts=False, skip_dynamics=False):
-    """One full substep; returns (new_state, LaneView of the pre-integration
-    snapshot with contact forces — used by cost terms after the last substep).
+                  skip_contacts=False, skip_dynamics=False, sconst=None):
+    """One full substep; returns the new state dict (with per-body net contact
+    forces under "net_cf" — used by cost terms after the last substep).
 
     skip_contacts / skip_dynamics: PROFILING ablations only (scripts/
     profile_kernel.py) — they produce physically wrong states but isolate the
     per-phase VPU cost of the narrowphase+penalty section and the articulated
-    solve + GS sweeps."""
+    solve + impulse sweeps."""
     B = scene.nbody
     pos, quat, linv, angv, axis_w = fk_lanes(scene, state)
     if skip_contacts:
         zero3 = (0.0, 0.0, 0.0)
-        plk_n, plk_f, net_cf, free_cands = (
+        plk_n, plk_f, net_cf, swept_geo = (
             [zero3] * B, [zero3] * B, [zero3] * B, [],
         )
     else:
-        plk_n, plk_f, net_cf, free_cands = contacts_lanes(
-            scene, tables, pos, quat, linv, angv, fric_scale, dt
+        plk_n, plk_f, net_cf, swept_geo = contacts_lanes(
+            scene, tables, pos, quat, linv, angv, fric_scale, dt, sconst=sconst
         )
     if skip_dynamics:
         # ballistic integrate of free roots only — isolates FK+contacts cost
@@ -1399,10 +1363,10 @@ def substep_lanes(scene, tables, masks_list, state, fric_scale, mass_scale, dt,
         new_state = dynamics_lanes(
             scene, masks_list, state, pos, quat, linv, angv, axis_w,
             plk_n, plk_f, mass_scale, dt,
-            # candidates always flow: couple contacts are solved IMPLICITLY in
+            # blocks always flow: couple contacts are solved IMPLICITLY in
             # the velocity solve even in penalty-only mode (impulse_sweeps=0
-            # only disables the GS sweeps)
-            free_cands=free_cands,
+            # only disables the sweeps)
+            swept_geo=swept_geo,
             impulse_sweeps=impulse_sweeps, fric_scale=fric_scale,
             world_fidelity=world_fidelity,
         )
@@ -1410,23 +1374,20 @@ def substep_lanes(scene, tables, masks_list, state, fric_scale, mass_scale, dt,
     return new_state
 
 
-def free_cand_indices(scene, tables) -> np.ndarray:
-    """Contact-table indices of the impulse-pass candidates, in the order
-    contacts_lanes enumerates them (ascending table order). The fused world
-    step uses this to map its persistent-λ rows onto SimState.contact_lam —
-    sharing the warm-start cache with the XLA engine's impulse pass."""
-    from ...physics.contact import _free_body_mask
+def swept_blocks(scene, tables):
+    """Pair blocks participating in the impulse pass, in batched block order."""
+    return [blk for blk in pair_blocks(scene, tables)[0] if blk["swept"]]
 
-    free = _free_body_mask(scene)
-    ga = tables.con_geom_a
-    gb = tables.con_geom_b
+
+def free_cand_indices(scene, tables) -> np.ndarray:
+    """Flat contact-table indices of the impulse-pass candidates, in BATCHED
+    BLOCK order (concatenated per-block sample rows). The fused world step
+    uses this to map its persistent-λ rows onto SimState.contact_lam —
+    sharing the warm-start cache with the XLA engine's impulse pass (whose
+    lam rows are in flat table order)."""
     out = []
-    for idx in range(tables.n_con):
-        a_is_free = free[scene.geom_body[ga[idx]]] > 0
-        b_is_free = gb[idx] >= 0 and free[scene.geom_body[gb[idx]]] > 0
-        is_sta = tables.a_sta[idx] > 0 or tables.b_sta[idx] > 0
-        if a_is_free or b_is_free or is_sta:
-            out.append(idx)
+    for blk in swept_blocks(scene, tables):
+        out.extend(blk["rows"].tolist())
     return np.asarray(out, np.int64)
 
 

@@ -67,7 +67,11 @@ def state_to_carry(st, A, D, B, n_fc):
     kernel). A pytree carry keeps every tile as its own buffer: fori_loop
     threads them by reference and the pack/unpack ops disappear. Float slots
     (e.g. net-cf of bodies with no contact candidates) are canonicalized to
-    tiles so the structure matches across iterations."""
+    tiles so the structure matches across iterations.
+
+    λ rides as the per-pair-block structure fused_physics produces:
+    (lam_n (S,8,128), lam_t 3-tuple of (S,8,128)) per swept block — a few
+    dozen leaves instead of the old 4·n_fc individual tiles."""
     ref = st["root_pos"][0][0]
     zero = ref * 0.0
 
@@ -75,9 +79,7 @@ def state_to_carry(st, A, D, B, n_fc):
         return x + zero if isinstance(x, (int, float)) else x
 
     ncf = st.get("net_cf", [(0.0, 0.0, 0.0)] * B)
-    lam = st.get("lam")
-    if n_fc and lam is None:
-        lam = [(0.0, 0.0, 0.0, 0.0)] * n_fc
+    lam = st.get("lam") if n_fc else None
     return (
         tuple(tuple(t(v) for v in st["root_pos"][a]) for a in range(A)),
         tuple(tuple(t(v) for v in st["root_quat"][a]) for a in range(A)),
@@ -86,7 +88,7 @@ def state_to_carry(st, A, D, B, n_fc):
         tuple(t(st["q"][d]) for d in range(D)),
         tuple(t(st["qd"][d]) for d in range(D)),
         tuple(tuple(t(v) for v in ncf[b]) for b in range(B)),
-        tuple(tuple(t(v) for v in lam[ci]) for ci in range(n_fc)) if n_fc else (),
+        tuple((ln, tuple(lt)) for ln, lt in lam) if lam is not None else (),
     )
 
 
@@ -101,6 +103,32 @@ def carry_to_state(carry, n_fc):
     if n_fc:
         st["lam"] = list(lam)
     return st
+
+
+def unpack_lam_rows(arr0, NS, swept_S):
+    """λ rows of the packed kernel input → per-block structure. Row layout is
+    4 consecutive rows [λ_n, λ_t·3] per candidate, candidates in batched block
+    order (free_cand_indices)."""
+    lam = []
+    c0 = 0
+    for S_ in swept_S:
+        ln = jnp.stack([arr0[NS + 4 * (c0 + s)] for s in range(S_)])
+        lt = tuple(
+            jnp.stack([arr0[NS + 4 * (c0 + s) + 1 + i] for s in range(S_)])
+            for i in range(3)
+        )
+        lam.append((ln, lt))
+        c0 += S_
+    return lam
+
+
+def pack_lam_rows(lam):
+    """Per-block λ structure → flat row list (inverse of unpack_lam_rows)."""
+    rows = []
+    for ln, lt in lam:
+        for s in range(ln.shape[0]):
+            rows += [ln[s], lt[0][s], lt[1][s], lt[2][s]]
+    return rows
 
 
 def pack_rows(st, A, B):
@@ -144,12 +172,13 @@ class FusedRollout:
         self.controls_dtype = controls_dtype
         self.impulse_sweeps = impulse_sweeps
         # world_fidelity=True: rollouts run the world step's exact contact
-        # treatment (vector friction cone + persistent-λ warm start carried
-        # across the whole H×substeps trajectory, seeded from the world's
-        # converged contact state + stiction snap) — the planner model's
-        # grasp-hold prediction matches the world engine. False: scalar
-        # accumulated-cone friction, no λ carry (4·n_fc fewer VMEM rows,
-        # ~2× faster sweeps) — sufficient for push/locomotion tasks.
+        # treatment (persistent-λ warm start carried across the whole
+        # H×substeps trajectory, seeded from the world's converged contact
+        # state, + stiction snap) — the planner model's grasp-hold prediction
+        # matches the world engine. False: no λ carry across substeps and no
+        # snap (4·n_fc fewer VMEM rows) — sufficient for push/locomotion
+        # tasks. Both modes share the mass-splitting Jacobi sweeps with
+        # vector-cone friction (r4: same algorithm as the XLA engine).
         self.world_fidelity = world_fidelity
         # planner-model substep override (MPPIConfig.rollout_substeps): the
         # rollout may integrate coarser than the world sim — physics cost is
@@ -193,6 +222,17 @@ class FusedRollout:
         else:
             self.tables = engine.tables
         self.fc_idx = free_cand_indices(s, self.tables)
+        from .fused_physics import pair_blocks, swept_blocks
+
+        self.swept_S = [blk["S"] for blk in swept_blocks(s, self.tables)]
+        # box-sample offset table → broadcast (SC,8,128) kernel input
+        # (Pallas cannot capture array constants inside the kernel)
+        sconst_np = pair_blocks(s, self.tables)[1]
+        self.SC = max(len(sconst_np), 1)
+        self._sconst = jnp.broadcast_to(
+            jnp.asarray(np.resize(sconst_np, self.SC), jnp.float32)[:, None, None],
+            (self.SC, 8, 128),
+        )
         self.n_fc = len(self.fc_idx) if world_fidelity else 0
         self.NSR = self.NS + 4 * self.n_fc
         self._run = jax.jit(self._build_call())
@@ -207,7 +247,8 @@ class FusedRollout:
         return unpack_rows(arr, self.A, self.D, self.B)
 
     # ------------------------------------------------------------------
-    def _kernel(self, state_ref, V_ref, mass_ref, fric_ref, cost_ref, vis_ref):
+    def _kernel(self, state_ref, V_ref, mass_ref, fric_ref, sconst_ref,
+                cost_ref, vis_ref):
         scene, tables = self.scene, self.tables
         dt_sub = self.dt_sub
         substeps = self.substeps
@@ -216,6 +257,7 @@ class FusedRollout:
 
         mass_tiles = [mass_ref[b] for b in range(self.B)]
         fric_tiles = [fric_ref[g] for g in range(self.scene.ngeom)]
+        sconst_arr = sconst_ref[:]
 
         NS, n_fc = self.NS, self.n_fc
         A, D, B = self.A, self.D, self.B
@@ -259,6 +301,7 @@ class FusedRollout:
                     world_fidelity=self.world_fidelity,
                     skip_contacts=self.profile.get("skip_contacts", False),
                     skip_dynamics=self.profile.get("skip_dynamics", False),
+                    sconst=sconst_arr,
                 )
                 return state_to_carry(s2, A, D, B, n_fc)
 
@@ -267,8 +310,13 @@ class FusedRollout:
             # cost on the post-step state
             if self.profile.get("zero_cost", False):
                 # profiling ablation: skip the cost section's FK + view + cost
-                # entirely to isolate its share of the kernel
-                cost_ref[t] = jnp.zeros((8, 128), jnp.float32)
+                # — but write a PHYSICS-DEPENDENT value, or Mosaic dead-code-
+                # eliminates the entire substep loop (the kernel's only other
+                # output is vis): the r3 profile's "cost section" delta was
+                # really the whole physics being deleted
+                stf = carry_to_state(carry, n_fc)
+                alive = stf["q"][0] if self.D else stf["root_pos"][0][0]
+                cost_ref[t] = alive
                 vis_ref[t] = jnp.zeros((3, 8, 128), jnp.bfloat16)
                 return carry
             stf = carry_to_state(carry, n_fc)
@@ -289,17 +337,13 @@ class FusedRollout:
         arr0 = state_ref[:]
         st0 = self._unpack(arr0)
         if n_fc:
-            st0["lam"] = [
-                (arr0[NS + 4 * ci], arr0[NS + 4 * ci + 1],
-                 arr0[NS + 4 * ci + 2], arr0[NS + 4 * ci + 3])
-                for ci in range(n_fc)
-            ]
+            st0["lam"] = unpack_lam_rows(arr0, NS, self.swept_S)
         jax.lax.fori_loop(0, self.H, h_body,
                           state_to_carry(st0, A, D, B, n_fc))
 
     def _build_call(self):
         H, nu, NS, G = self.H, self.nu, self.NSR, self.G
-        B, NG = self.B, self.scene.ngeom
+        B, NG, SC = self.B, self.scene.ngeom, self.SC
 
         grid_spec = pl.GridSpec(
             grid=(G,),
@@ -308,6 +352,7 @@ class FusedRollout:
                 pl.BlockSpec((H, nu, 8, 128), lambda g: (0, 0, g, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((B, 8, 128), lambda g: (0, g, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((NG, 8, 128), lambda g: (0, g, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((SC, 8, 128), lambda g: (0, 0, 0), memory_space=pltpu.VMEM),
             ],
             out_specs=(
                 pl.BlockSpec((H, 8, 128), lambda g: (0, g, 0), memory_space=pltpu.VMEM),
@@ -317,7 +362,7 @@ class FusedRollout:
 
         ctl_dt = self.controls_dtype
 
-        def run(state_arr, V_arr, mass_arr, fric_arr):
+        def run(state_arr, V_arr, mass_arr, fric_arr, sconst_arr):
             V_arr = V_arr.astype(ctl_dt)
             return pl.pallas_call(
                 self._kernel,
@@ -334,7 +379,7 @@ class FusedRollout:
                 compiler_params=pltpu.CompilerParams(
                     vmem_limit_bytes=64 * 1024 * 1024
                 ),
-            )(state_arr, V_arr, mass_arr, fric_arr)
+            )(state_arr, V_arr, mass_arr, fric_arr, sconst_arr)
 
         return run
 
@@ -384,7 +429,8 @@ class FusedRollout:
         V_arr = self._to_lanes(V_khn)                      # (H, nu, 8G, 128)
         mass_arr = self._to_lanes(params_K.body_mass_scale)
         fric_arr = self._to_lanes(params_K.geom_friction)
-        costs_l, vis_l = self._run(state_arr, V_arr, mass_arr, fric_arr)
+        costs_l, vis_l = self._run(state_arr, V_arr, mass_arr, fric_arr,
+                                   self._sconst)
         costs = self._from_lanes(costs_l)                  # (K, H)
         vis = jnp.moveaxis(self._from_lanes(vis_l.astype(jnp.float32)), 0, 1)  # (H,K,3)
         return costs, vis
@@ -402,13 +448,17 @@ class FusedWorldStep:
     kernel's 2 — the world pays it once per dt, not K×H times.
     """
 
-    def __init__(self, built, engine, impulse_sweeps: int = 8, interpret: bool = False):
+    def __init__(self, built, engine, impulse_sweeps: int = 16, interpret: bool = False):
         from ...physics.dynamics import build_actor_masks
-        from .fused_physics import free_cand_indices
+        from .fused_physics import free_cand_indices, pair_blocks, swept_blocks
 
         self.built = built
         self.engine = engine
         self.scene = built.scene
+        # default 16 = contact.impulse_contact_pass's iteration count: the
+        # fused sweeps run the SAME mass-splitting Jacobi since the r4 pair-
+        # block restructure, so matching counts makes the two world paths
+        # converge identically. Paid once per control dt — cheap.
         self.impulse_sweeps = impulse_sweeps
         self.interpret = interpret
         self.masks_list = [build_actor_masks(a) for a in self.scene.actors]
@@ -419,16 +469,24 @@ class FusedWorldStep:
         # candidate) — warm starting across substeps AND control steps,
         # shared with SimState.contact_lam via the table-index map
         self.fc_idx = free_cand_indices(s, engine.tables)
+        self.swept_S = [blk["S"] for blk in swept_blocks(s, engine.tables)]
+        sconst_np = pair_blocks(s, engine.tables)[1]
+        self.SC = max(len(sconst_np), 1)
+        self._sconst = jnp.broadcast_to(
+            jnp.asarray(np.resize(sconst_np, self.SC), jnp.float32)[:, None, None],
+            (self.SC, 8, 128),
+        )
         self.n_fc = len(self.fc_idx)
         self.NSW = self.NS + 4 * self.n_fc
         self._run = jax.jit(self._build_call())
 
-    def _kernel(self, state_ref, tgt_ref, mass_ref, fric_ref, out_ref):
+    def _kernel(self, state_ref, tgt_ref, mass_ref, fric_ref, sconst_ref, out_ref):
         scene = self.scene
         dt_sub = self.engine.dt_sub
         substeps = self.engine.substeps
         mass_tiles = [mass_ref[b] for b in range(self.B)]
         fric_tiles = [fric_ref[g] for g in range(self.scene.ngeom)]
+        sconst_arr = sconst_ref[:]
         tgt = [tgt_ref[d] for d in range(self.D)]
         NS, n_fc = self.NS, self.n_fc
 
@@ -441,31 +499,24 @@ class FusedWorldStep:
                 scene, self.engine.tables, self.masks_list, s2,
                 fric_tiles, mass_tiles, dt_sub,
                 impulse_sweeps=self.impulse_sweeps,
-                world_fidelity=True,
+                world_fidelity=True, sconst=sconst_arr,
             )
             return state_to_carry(s2, A, D, B, n_fc)
 
         arr0 = state_ref[:]
         st0 = unpack_rows(arr0, A, D, B)
         if n_fc:
-            st0["lam"] = [
-                (arr0[NS + 4 * ci], arr0[NS + 4 * ci + 1],
-                 arr0[NS + 4 * ci + 2], arr0[NS + 4 * ci + 3])
-                for ci in range(n_fc)
-            ]
+            st0["lam"] = unpack_lam_rows(arr0, NS, self.swept_S)
         carry = jax.lax.fori_loop(0, substeps, sub_body,
                                   state_to_carry(st0, A, D, B, n_fc))
         sf = carry_to_state(carry, n_fc)
         rows = pack_rows(sf, A, B)
         if n_fc:
-            lam = sf["lam"]
-            rows = jnp.concatenate([rows, jnp.stack(
-                [lam[ci][k] for ci in range(n_fc) for k in range(4)]
-            )])
+            rows = jnp.concatenate([rows, jnp.stack(pack_lam_rows(sf["lam"]))])
         out_ref[:] = rows
 
     def _build_call(self):
-        NSW, D, B, NG = self.NSW, self.D, self.B, self.scene.ngeom
+        NSW, D, B, NG, SC = self.NSW, self.D, self.B, self.scene.ngeom, self.SC
         grid_spec = pl.GridSpec(
             grid=(1,),
             in_specs=[
@@ -473,11 +524,12 @@ class FusedWorldStep:
                 pl.BlockSpec((max(D, 1), 8, 128), lambda g: (0, 0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((B, 8, 128), lambda g: (0, 0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((NG, 8, 128), lambda g: (0, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((SC, 8, 128), lambda g: (0, 0, 0), memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((NSW, 8, 128), lambda g: (0, 0, 0), memory_space=pltpu.VMEM),
         )
 
-        def run(state_arr, tgt_arr, mass_arr, fric_arr):
+        def run(state_arr, tgt_arr, mass_arr, fric_arr, sconst_arr):
             return pl.pallas_call(
                 self._kernel,
                 grid_spec=grid_spec,
@@ -490,7 +542,7 @@ class FusedWorldStep:
                 compiler_params=pltpu.CompilerParams(
                     vmem_limit_bytes=64 * 1024 * 1024
                 ),
-            )(state_arr, tgt_arr, mass_arr, fric_arr)
+            )(state_arr, tgt_arr, mass_arr, fric_arr, sconst_arr)
 
         return run
 
@@ -508,6 +560,7 @@ class FusedWorldStep:
             self._bcast(tgt if self.D else jnp.zeros((1,), jnp.float32)),
             self._bcast(mass_scale),
             self._bcast(geom_friction),
+            self._sconst,
         )
         return out[:, 0, 0]
 

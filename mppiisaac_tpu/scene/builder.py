@@ -42,7 +42,11 @@ class SimConfig:
     # sims on an accelerator — one launch instead of thousands of
     # launch-overhead-bound fusions; XLA otherwise). True/False force it.
     fused_world: Optional[bool] = None
-    fused_world_sweeps: int = 8       # GS impulse sweeps in the fused world step
+    # impulse sweeps in the fused world step. 16 = the XLA engine's
+    # impulse_contact_pass iteration count: since the r4 pair-block
+    # restructure both paths run the same mass-splitting Jacobi, so matching
+    # counts makes them converge identically (paid once per control dt)
+    fused_world_sweeps: int = 16
 
 
 @dataclass

@@ -29,65 +29,97 @@ import jax.numpy as jnp
 import numpy as np
 
 
-_IK_CACHE = {}
+def _np_qmul(a, b):
+    ax, ay, az, aw = a
+    bx, by, bz, bw = b
+    return np.array([
+        aw * bx + ax * bw + ay * bz - az * by,
+        aw * by - ax * bz + ay * bw + az * bx,
+        aw * bz + ax * by - ay * bx + az * bw,
+        aw * bw - ax * bx - ay * by - az * bz,
+    ])
 
 
-def _ik_solver(art, root_pos, root_quat, comfy_arm, iters):
-    """One jitted Adam-on-FK solve, (q0, target) as ARGUMENTS so a single
-    compile serves every waypoint (1-core host: each XLA:CPU compile of the
-    FK+grad graph costs ~1 min)."""
-    from mppiisaac_tpu.physics.kinematics import fk_actor
-    from mppiisaac_tpu.physics.math3d import quat_rotate
+def _np_qrot(q, v):
+    u, w = q[:3], q[3]
+    t = 2.0 * np.cross(u, v)
+    return v + w * t + np.cross(u, t)
 
+
+def _np_fk_hand(art, root_pos, root_quat, q, hand_idx):
+    """numpy FK (positions+quats only) mirroring physics.kinematics — NO jax
+    compile: the jitted Adam-IK's FK+grad graph took >28 min to compile on
+    this 1-core host (r4: the original diag timed out inside that compile)."""
+    from mppiisaac_tpu.physics.model import JOINT_PRISMATIC, JOINT_REVOLUTE
+
+    nb = art.nbody
+    pos = [None] * nb
+    quat = [None] * nb
+    for i in range(nb):
+        if art.parent[i] < 0:
+            pos[i] = np.asarray(root_pos, np.float64)
+            quat[i] = np.asarray(root_quat, np.float64)
+            continue
+        p = int(art.parent[i])
+        fpos = pos[p] + _np_qrot(quat[p], np.asarray(art.jpos[i], np.float64))
+        fq = _np_qmul(quat[p], np.asarray(art.jquat[i], np.float64))
+        jt = int(art.jtype[i])
+        ax = np.asarray(art.jaxis[i], np.float64)
+        if jt == JOINT_REVOLUTE:
+            k = int(art.dof_index[i])
+            half = 0.5 * q[k]
+            rq = np.array([*(ax * np.sin(half)), np.cos(half)])
+            pos[i], quat[i] = fpos, _np_qmul(fq, rq)
+        elif jt == JOINT_PRISMATIC:
+            k = int(art.dof_index[i])
+            pos[i] = fpos + _np_qrot(fq, ax) * q[k]
+            quat[i] = fq
+        else:
+            pos[i], quat[i] = fpos, fq
+        if i == hand_idx:
+            return pos[i], quat[i]
+    return pos[hand_idx], quat[hand_idx]
+
+
+def solve_ik(art, root_pos, root_quat, q0, target, comfy_arm, iters=200):
+    """Damped-least-squares IK (finite-difference jacobian, pure numpy) over
+    the 10 actuated base+arm dofs: hand origin at `target`, hand z-axis
+    pointing down (ee_tip below hand origin)."""
     hand = art.link_names.index("panda_hand")
     nq = art.ndof
-    zeros = jnp.zeros(nq, jnp.float32)
-    lo = jnp.asarray(art.dof_lower, jnp.float32)
-    hi = jnp.asarray(art.dof_upper, jnp.float32)
+    lo = np.asarray(art.dof_lower, np.float64)[:10]
+    hi = np.asarray(art.dof_upper, np.float64)[:10]
+    rp = np.asarray(root_pos, np.float64)
+    rq = np.asarray(root_quat, np.float64)
+    down = np.array([0.0, 0.0, -1.0])
 
-    def loss(q10, target):
-        q = zeros.at[:10].set(q10)
-        pos, quat, _, _ = fk_actor(art, root_pos, root_quat, zeros[:3], zeros[:3], q, zeros)
-        zaxis = quat_rotate(quat[hand], jnp.asarray([0.0, 0.0, 1.0]))
-        return (
-            jnp.sum((pos[hand] - target) ** 2) * 50.0
-            + jnp.sum((zaxis - jnp.asarray([0.0, 0.0, -1.0])) ** 2) * 5.0
-            + 0.02 * jnp.sum((q10[3:] - comfy_arm) ** 2)
-            + jnp.sum(jnp.maximum(q10 - hi[:10], 0.0) ** 2) * 100.0
-            + jnp.sum(jnp.maximum(lo[:10] - q10, 0.0) ** 2) * 100.0
-        ), (pos[hand],)
+    def err6(q10):
+        q = np.zeros(nq)
+        q[:10] = q10
+        hp, hq = _np_fk_hand(art, rp, rq, q, hand)
+        z = _np_qrot(hq, np.array([0.0, 0.0, 1.0]))
+        return np.concatenate([target - hp, 0.3 * (down - z)]), hp
 
-    import optax
-
-    opt = optax.adam(0.03)
-    vg = jax.value_and_grad(loss, has_aux=True)
-
-    @jax.jit
-    def solve(q0, target):
-        def body(carry, _):
-            q10, ost = carry
-            (v, aux), gr = vg(q10, target)
-            upd, ost = opt.update(gr, ost)
-            return (q10 + upd, ost), None
-
-        (qf, _), _ = jax.lax.scan(body, (q0, opt.init(q0)), None, length=iters)
-        (_, (hp,)), _ = vg(qf, target)
-        return qf, hp
-
-    return solve
-
-
-def solve_ik(art, root_pos, root_quat, q0, target, comfy_arm, iters=600):
-    """Gradient IK over the 10 actuated base+arm dofs: hand origin at
-    `target`, hand z-axis pointing down (ee_tip below hand origin)."""
-    key = id(art)
-    if key not in _IK_CACHE:
-        _IK_CACHE[key] = _ik_solver(art, root_pos, root_quat,
-                                    jnp.asarray(comfy_arm), iters)
-    qf, hp = _IK_CACHE[key](jnp.asarray(q0[:10], jnp.float32),
-                            jnp.asarray(target, jnp.float32))
-    err = float(jnp.linalg.norm(hp - jnp.asarray(target)))
-    return np.asarray(qf), err
+    q10 = np.asarray(q0[:10], np.float64).copy()
+    eps = 1e-5
+    hp = None
+    for _ in range(iters):
+        e, hp = err6(q10)
+        if np.linalg.norm(e[:3]) < 5e-4:
+            break
+        J = np.zeros((6, 10))
+        for j in range(10):
+            qp = q10.copy()
+            qp[j] += eps
+            ep, _ = err6(qp)
+            J[:, j] = (e - ep) / eps          # J = -d(err)/dq = d(fk-ish)/dq
+        # DLS step: e + (derr/dq)dq = 0 with derr/dq = -J  →  dq = J⁻¹e
+        dq = np.linalg.solve(J.T @ J + 0.01 * np.eye(10), J.T @ e)
+        q10 = np.clip(q10 + 0.5 * dq, lo, hi)
+        q10[3:] += 0.02 * (np.asarray(comfy_arm) - q10[3:]) * 0.1
+        q10 = np.clip(q10, lo, hi)
+    e, hp = err6(q10)
+    return q10.astype(np.float32), float(np.linalg.norm(e[:3]))
 
 
 def main(grasp_dz=0.09, n_steps=280, use_fused=False):
@@ -128,6 +160,10 @@ def main(grasp_dz=0.09, n_steps=280, use_fused=False):
     q_lift, e3 = solve_ik(art, root_pos, root_quat, q_grasp, tgt_lift, comfy)
     q_carry, e4 = solve_ik(art, root_pos, root_quat, q_lift, tgt_carry, comfy)
     print(f"IK errors: pre={e1:.4f} grasp={e2:.4f} lift={e3:.4f} carry={e4:.4f}")
+    np.set_printoptions(precision=3, suppress=True)
+    print(f"q_now base={q_now[:3]} q_pre={q_pre}")
+    print(f"q_grasp={q_grasp}")
+    print(f"q_carry base={q_carry[:3]}")
 
     # effort-space PD gains (clip at solver bounds ±80 base / ±87,±12 arm)
     KP = np.array([300, 300, 100] + [150, 150, 150, 150, 30, 30, 30], np.float64)
@@ -146,10 +182,17 @@ def main(grasp_dz=0.09, n_steps=280, use_fused=False):
     sl = scene.actor_dof_slice("omnipanda")
     step = 0
     success_step = None
-    for ph, (T, qstar, fu) in enumerate(phases):
+    for ph, (T, qgoal, fu) in enumerate(phases):
+        q_start = np.asarray(world.state.q[0, sl])[:10].copy()
         for t in range(T):
             q = np.asarray(world.state.q[0, sl])
             qd = np.asarray(world.state.qd[0, sl])
+            # ramped joint-space target: a step target the size of the IK
+            # jump saturates every effort channel and the arm's reaction
+            # whip overwhelms the base's ±80 N authority (r4 diag: base ran
+            # +8 m against a constant −80 N command)
+            alpha = min(1.0, (t + 1) / max(int(0.7 * T), 1))
+            qstar = q_start + alpha * (np.asarray(qgoal) - q_start)
             u10 = np.clip(KP * (qstar - q[:10]) - KD * qd[:10], U_LO, U_HI)
             u = np.concatenate([u10, [fu, fu]]).astype(np.float32)
             world.apply_robot_cmd(u)
@@ -160,7 +203,11 @@ def main(grasp_dz=0.09, n_steps=280, use_fused=False):
                 blk = np.asarray(world.state.root_pos[0, scene.actor_index("block")])
                 grip = q[-2:]
                 print(
-                    f"ph{ph} step {step:4d} hand=({hand[0]:+.3f},{hand[1]:+.3f},{hand[2]:+.3f}) "
+                    f"ph{ph} step {step:4d} "
+                    f"base=({q[0]:+.2f},{q[1]:+.2f},{q[2]:+.2f})->"
+                    f"({qstar[0]:+.2f},{qstar[1]:+.2f},{qstar[2]:+.2f}) "
+                    f"u=({u10[0]:+.0f},{u10[1]:+.0f}) "
+                    f"hand=({hand[0]:+.3f},{hand[1]:+.3f},{hand[2]:+.3f}) "
                     f"block=({blk[0]:+.3f},{blk[1]:+.3f},{blk[2]:+.3f}) "
                     f"|h-b|={np.linalg.norm(hand - blk):.3f} "
                     f"|b-g|={np.linalg.norm(blk - goal):.3f} grip=({grip[0]:.3f},{grip[1]:.3f})",

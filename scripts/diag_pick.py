@@ -18,12 +18,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def run_seed(seed, n_steps=500, every=25):
+def run_seed(seed, n_steps=500, every=25, overrides=()):
     from mppiisaac_tpu.runtime.loop import run_task
     from mppiisaac_tpu.tasks.panda_pick import PandaPickObjective
     from mppiisaac_tpu.utils.config_store import load_config
 
-    cfg = load_config("tasks/panda_pick", [f"mppi.seed_val={seed}"])
+    cfg = load_config("tasks/panda_pick",
+                      [f"mppi.seed_val={seed}", *overrides])
     obj = PandaPickObjective(cfg)
 
     def observer(step, world, action):
@@ -56,10 +57,10 @@ def run_seed(seed, n_steps=500, every=25):
           flush=True)
 
 
-def main(seeds="0,2,3", n_steps=500, every=25):
+def main(seeds="0,2,3", n_steps=500, every=25, *overrides):
     for s in str(seeds).split(","):
-        run_seed(int(s), int(n_steps), int(every))
+        run_seed(int(s), int(n_steps), int(every), overrides)
 
 
 if __name__ == "__main__":
-    main(*sys.argv[1:4])
+    main(*sys.argv[1:])

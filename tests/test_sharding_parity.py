@@ -147,3 +147,51 @@ def test_sharded_tape_prior_parity():
         np.asarray(info2["costs"]), np.asarray(info1["costs"]), rtol=1e-5, atol=1e-5
     )
     np.testing.assert_allclose(np.asarray(a2), np.asarray(a1), rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_sharded_world_fidelity_parity_pick_scene():
+    """r3 verdict item 9: multi-chip cost parity on the config that SHIPS —
+    the real panda_pick scene at world fidelity (persistent-λ rollouts), small
+    K on the virtual-device mesh. The earlier contact-scene test covers the
+    machinery on a mini gripper; this one covers the flagship scene's full
+    candidate tables, couple solve and λ seeding through the sharded path."""
+    from mppiisaac_tpu.mppi.solver import MPPIPlanner
+    from mppiisaac_tpu.parallel.sharding import (
+        make_mesh,
+        shard_batched_state,
+        sharded_command,
+    )
+    from mppiisaac_tpu.planner.mppi_isaac import MPPIisaacPlanner
+    from mppiisaac_tpu.tasks.panda_pick import PandaPickObjective
+    from mppiisaac_tpu.utils.config_store import load_config
+
+    cfg = load_config(
+        "tasks/panda_pick",
+        [
+            f"mppi.num_samples={K}",
+            f"mppi.horizon={H}",
+            "mppi.rollout_fidelity=world",
+            "mppi.sampling_method=halton",
+        ],
+    )
+    gp = MPPIisaacPlanner(cfg, PandaPickObjective(cfg), randomize=False,
+                          use_fused=False)
+    fused_factory = gp.fused_factory()
+    single = MPPIPlanner(
+        gp.cfg.mppi, gp.cfg.nx,
+        dynamics=gp.mppi.dynamics, running_cost=gp.mppi.running_cost,
+        vis_fn=gp.mppi.vis_fn, fused=fused_factory(K),
+    )
+    state_K = (gp.sim.state, gp._params_K)
+    a1, c1, info1 = jax.jit(single._command_impl)(single.carry, state_K)
+
+    mesh = make_mesh(N_DEV)
+    cmd = sharded_command(gp.mppi, mesh, fused_factory=fused_factory)
+    a2, c2, info2 = cmd(gp.mppi.carry, shard_batched_state(state_K, mesh))
+
+    costs1, costs2 = np.asarray(info1["costs"]), np.asarray(info2["costs"])
+    assert costs1.shape == costs2.shape == (K,)
+    assert np.isfinite(costs1).all() and np.isfinite(costs2).all()
+    np.testing.assert_allclose(costs2, costs1, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(a2), np.asarray(a1), rtol=1e-4, atol=1e-4)
