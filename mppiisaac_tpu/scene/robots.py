@@ -330,7 +330,14 @@ def omni_panda() -> str:
     u = U("omni_panda")
     _planar_base(
         u, effort=300.0,
-        chassis_geoms=[("box", (0.5, 0.5, 0.3), (0, 0, 0.12), (0, 0, 0))],
+        # reference omniPandaWithGripper.urdf base_link collision: cylinder
+        # r=0.2 l=0.3 centered at the base frame (joint chain puts it at world
+        # z=0.15 → spans z∈[0, 0.3]). The r1-r3 chassis was a 0.5×0.5 box
+        # whose 0.354 m corner reach jammed into the table 75% farther out
+        # than the reference's 0.2 m cylinder — near-table approach cost a
+        # violent repulsive kick (scripts/probe_omni_contact.py: 978 N spike)
+        # and MPPI learned to hover instead of reaching the block.
+        chassis_geoms=[("cylinder", (0.2, 0.3), (0, 0, 0.10), (0, 0, 0))],
         extent=50.0,
         # reference omniPandaWithGripper.urdf base_link: 20 kg, izz=0.4 —
         # effort-mode base response (±80 N / sigma 20) depends on this inertia

@@ -172,6 +172,10 @@ def test_sharded_world_fidelity_parity_pick_scene():
             f"mppi.num_samples={K}",
             f"mppi.horizon={H}",
             "mppi.rollout_fidelity=world",
+            # interpret-mode kernel on the full pick scene: one substep keeps
+            # the test finishable on a 1-core CPU host (world-fidelity contact
+            # SEMANTICS — lambda carry/seeding, couple solve — are unchanged)
+            "mppi.rollout_substeps=1",
             "mppi.sampling_method=halton",
         ],
     )
