@@ -19,18 +19,19 @@ ITERS = 20
 REF_ENV_STEPS_PER_SEC = 300_000.0   # reference implied sustained (BASELINE.md)
 
 # Planner-model knobs for the benchmarked rollout kernel. The defaults are
-# the FASTEST configuration that passes the flagship task-success bar:
-# panda_pick 8/10 over 10 seeds at fidelity=fast, world-match substeps,
-# rollout_sweeps=1, rollout_manifold=reduced (RESULTS_r3.json
-# "panda_pick:fast:world-match:sw1:reduced"; the sweeps-2 full-manifold
-# config measured LOWER at 4/10 — grasp success is dither-dominated, see
-# RESULTS.md fidelity table). Override via env: BENCH_FIDELITY=world|fast,
-# BENCH_SUBSTEPS=N, BENCH_SWEEPS=N, BENCH_MANIFOLD=full|reduced.
+# the FASTEST configuration that passes the flagship task-success bar, r4:
+# fidelity=world (lambda carry + stiction snap), world-match substeps,
+# sweeps=2, manifold=reduced — 10/10 over 10 seeds (RESULTS_r4.json
+# "panda_pick:world:world-match:swd:reduced"). The r3 fast/sw1 config dropped
+# to 2/10 under the Jacobi contact upgrade (fast mode's capture prediction
+# was dither-luck); sweeps=1 measures 7/10 for only 7% speed, substeps=1
+# 0/10. Override via env: BENCH_FIDELITY=world|fast, BENCH_SUBSTEPS=N,
+# BENCH_SWEEPS=N, BENCH_MANIFOLD=full|reduced.
 import os as _os
 
-FIDELITY = _os.environ.get("BENCH_FIDELITY", "fast")
+FIDELITY = _os.environ.get("BENCH_FIDELITY", "world")
 SUBSTEPS = _os.environ.get("BENCH_SUBSTEPS", "")     # "" = match world sim
-SWEEPS = _os.environ.get("BENCH_SWEEPS", "1")
+SWEEPS = _os.environ.get("BENCH_SWEEPS", "2")
 MANIFOLD = _os.environ.get("BENCH_MANIFOLD", "reduced")
 
 
