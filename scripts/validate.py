@@ -119,7 +119,10 @@ def pick(fidelity="fast", n_seeds=5, task="panda_pick", substeps="", sweeps="",
     return s
 
 
-def anymal(n_seeds=3):
+def anymal(n_seeds=3, prior_mode="tape"):
+    """prior_mode: 'tape' (default, gait tape prior) or 'none' — the reference
+    reaches the goal with prior=None (`examples/anymal/planner.py:54`), so the
+    no-prior sweep measures whether the gait is emergent here too."""
     _jax_cache()
     import numpy as np
 
@@ -128,9 +131,11 @@ def anymal(n_seeds=3):
     from mppiisaac_tpu.tasks.anymal import AnymalObjective
     from mppiisaac_tpu.utils.config_store import load_config
 
-    cfg = load_config("tasks/anymal", None)
+    over = ["mppi.use_priors=false"] if prior_mode == "none" else None
+    cfg = load_config("tasks/anymal", over)
     obj = AnymalObjective(cfg)
-    prior = QuadrupedGaitPrior(H=cfg.mppi.horizon, dt=cfg.isaacgym.dt)
+    prior = None if prior_mode == "none" else QuadrupedGaitPrior(
+        H=cfg.mppi.horizon, dt=cfg.isaacgym.dt)
 
     def success(world):
         v = world.view
@@ -144,11 +149,11 @@ def anymal(n_seeds=3):
         success_fn=success, device_steps=16, verbose=True,
     )
     s = _summ(results)
-    s["task"] = "anymal"
+    s["task"], s["prior"] = "anymal", prior_mode
     s["wall_s"] = round(time.perf_counter() - t0, 1)
     print("SUMMARY " + json.dumps(s))
     print(f"SUCCESS {s['successes']}/{s['episodes']}")
-    _record("anymal", s)
+    _record("anymal" if prior_mode == "tape" else f"anymal:{prior_mode}", s)
     return s
 
 
