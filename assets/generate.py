@@ -145,7 +145,12 @@ def franka_urdf(gripper: bool) -> str:
         for fi, sy in (("1", 1.0), ("2", -1.0)):
             out.append(f'  <link name="panda_finger{fi}">\n')
             out.append(_inertial(0.015, (0, 0, 0.028), 0.014, 0.05))
-            out.append(_mesh_collision("../meshes/panda_finger.obj", (0, 0, 0.028), (0, 0, 0)))
+            # pad inner face flush with the grasp plane: the mesh is offset
+            # OUTWARD by its 7 mm half-thickness (the real Franka finger
+            # collision extends outward from the joint plane; a centered pad
+            # leaves 2q−14 mm between the pads — too narrow to cage the
+            # 4 cm pick block at the tasks' working grips)
+            out.append(_mesh_collision("../meshes/panda_finger.obj", (0, sy * 0.007, 0.028), (0, 0, 0)))
             out.append("  </link>\n")
             out.append(
                 f'  <joint name="panda_finger_joint{fi}" type="prismatic">\n'

@@ -51,6 +51,59 @@ from . import lanes as L
 # solve stays on) — lets tests bisect two-way-sweep regressions
 TWO_WAY_SWEEPS = True
 
+# Round-4 perf lever (PROFILE.md "broadphase candidate pruning"): skip a pair
+# block's ENTIRE contact pipeline (narrowphase, penalty, couple terms, impulse
+# sweeps, λ carry, stiction rows) behind one scalar `lax.cond` when the two
+# geoms' bounding spheres are separated across ALL samples in the tile. The
+# gate is exact: separated bounds ⇒ depth < 0 for every manifold sample ⇒ the
+# ungated code produces exactly-zero contributions (penalty force, act mask,
+# impulses, λ) — so gating changes no numerics, only skips dead work. Most of
+# a scene's blocks (arm links vs table, block vs far obstacles) are separated
+# in every lane most of the time; MPPI samples branch from ONE world state, so
+# tiles are near-uniform and the scalar cond usually takes the cheap path.
+BROADPHASE_GATE = True
+
+
+def _geom_bound(scene, g) -> float:
+    """Host-side bounding-sphere radius of geom g about its BODY origin."""
+    gt = int(scene.geom_type[g])
+    s = np.asarray(scene.geom_size[g], np.float32)
+    off = float(np.linalg.norm(np.asarray(scene.geom_pos[g], np.float32)))
+    if gt == GEOM_BOX:
+        r = float(np.linalg.norm(s[:3]))
+    elif gt == GEOM_CAPSULE:
+        r = float(s[0]) + float(s[1])
+    else:
+        r = float(s[0])
+    return off + r
+
+
+def block_gate(scene, blk, pos, margin=1e-3):
+    """Scalar "possibly in contact" predicate for one pair block: any-lane
+    bounding-sphere overlap on the bodies' origins (plane blocks: height test
+    against z=0). False ⇒ every sample of the block is separated ⇒ the block
+    contributes exactly zero everywhere and may be skipped whole."""
+    ra = _geom_bound(scene, blk["ga_geom"])
+    ca = pos[blk["ba"]]
+    if not blk["has_b"]:
+        return jnp.any(ca[2] <= ra + margin)
+    rb = _geom_bound(scene, blk["gb_geom"])
+    d = L.sub3(ca, pos[blk["bb"]])
+    thr = ra + rb + margin
+    return jnp.any(L.dot3(d, d) <= thr * thr)
+
+
+def _gcond(gate, fn):
+    """lax.cond(gate, fn, zeros-like); gate None ⇒ call fn directly. fn takes
+    no args (closure) and returns a pytree of arrays/scalars."""
+    if gate is None:
+        return fn()
+    shapes = jax.eval_shape(fn)
+    return jax.lax.cond(
+        gate, fn,
+        lambda: jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes),
+    )
+
 
 def _t3(a):
     return (float(a[0]), float(a[1]), float(a[2]))
@@ -426,59 +479,88 @@ def contacts_lanes(scene, tables, pos, quat, linv, angv, fric_scale, dt_sub,
     dcap = float(scene.max_contact_depth)
 
     for blk in blocks:
-        point, normal, depth = block_geometry(scene, blk, pos, quat, sconst)
         ba, bb, has_b = blk["ba"], blk["bb"], blk["has_b"]
         fa = fric_scale[blk["ga_geom"]]
         fb = fric_scale[blk["gb_geom"]] if has_b else fa
         mu = blk["mu0"] * 0.5 * (fa + fb)
+        emit_a = not blk["a_art"]
+        emit_b = has_b and not blk["b_art"]
+        # cp/bp contact the ground plane: their normal is the static +z —
+        # kept OUT of the gated region so it stays a compile-time constant
+        static_n = blk["kind"] in ("cp", "bp")
+        if not (emit_a or emit_b or blk["swept"]):
+            continue   # fully-articulated non-swept pair: nothing to emit
+        gate = block_gate(scene, blk, pos) if BROADPHASE_GATE else None
 
-        va = L.add3(linv[ba], L.cross3(angv[ba], L.sub3(point, pos[ba])))
-        if has_b:
-            vb = L.add3(linv[bb], L.cross3(angv[bb], L.sub3(point, pos[bb])))
-            v_rel = L.sub3(va, vb)
-        else:
-            v_rel = va
-        vn = L.dot3(v_rel, normal)
-        vt = L.sub3(v_rel, L.scale3(normal, vn))
-        vt_norm = L.norm3(vt, eps=0.0)
-        active = depth > 0.0
-        depth_cl = jnp.minimum(depth, dcap)
-
-        def force_with(kn_base):
-            kn = kn_base / (tau_c * tau_c)
-            kd = 2.0 * zeta * kn_base / tau_c
-            fn = jnp.where(active, jnp.maximum(kn * depth_cl - kd * vn, 0.0), 0.0)
-            ft_s = -(mu * fn / jnp.maximum(vt_norm, eps_v))
-            return L.fma3(L.scale3(normal, fn), vt, ft_s), fn
-
-        # side-asymmetric penalty (see physics/contact.py): free bodies feel
-        # the mass-scaled stable stiffness, FIXED bodies the couple stiffness,
-        # and the DYNAMIC ARTICULATED side of a couple contact gets NO
-        # explicit force — its reaction is applied implicitly inside the
-        # articulated velocity solve (dynamics_lanes), exactly as the world
-        # engine does (an explicit stiff spring on a gram-scale finger is
-        # unconditionally unstable)
-        force_a, _ = force_with(blk["kn_soft"] if blk["a_free"] else blk["kn"])
-        if has_b:
-            if blk["b_free"] == blk["a_free"]:
-                force_b = force_a
+        def _narrow(blk=blk, ba=ba, bb=bb, has_b=has_b, mu=mu,
+                    emit_a=emit_a, emit_b=emit_b, static_n=static_n):
+            point, normal, depth = block_geometry(scene, blk, pos, quat, sconst)
+            va = L.add3(linv[ba], L.cross3(angv[ba], L.sub3(point, pos[ba])))
+            if has_b:
+                vb = L.add3(linv[bb], L.cross3(angv[bb], L.sub3(point, pos[bb])))
+                v_rel = L.sub3(va, vb)
             else:
-                force_b, _ = force_with(blk["kn_soft"] if blk["b_free"] else blk["kn"])
+                v_rel = va
+            vn = L.dot3(v_rel, normal)
+            vt = L.sub3(v_rel, L.scale3(normal, vn))
+            vt_norm = L.norm3(vt, eps=0.0)
+            active = depth > 0.0
+            depth_cl = jnp.minimum(depth, dcap)
 
-        if not blk["a_art"]:
-            fA = _sum_s3(force_a)
-            nA = _sum_s3(L.cross3(point, force_a))
+            def force_with(kn_base):
+                kn = kn_base / (tau_c * tau_c)
+                kd = 2.0 * zeta * kn_base / tau_c
+                fn = jnp.where(active, jnp.maximum(kn * depth_cl - kd * vn, 0.0), 0.0)
+                ft_s = -(mu * fn / jnp.maximum(vt_norm, eps_v))
+                return L.fma3(L.scale3(normal, fn), vt, ft_s), fn
+
+            # side-asymmetric penalty (see physics/contact.py): free bodies
+            # feel the mass-scaled stable stiffness, FIXED bodies the couple
+            # stiffness, and the DYNAMIC ARTICULATED side of a couple contact
+            # gets NO explicit force — its reaction is applied implicitly
+            # inside the articulated velocity solve (dynamics_lanes), exactly
+            # as the world engine does (an explicit stiff spring on a
+            # gram-scale finger is unconditionally unstable)
+            out = []
+            if emit_a or emit_b:
+                force_a, _ = force_with(blk["kn_soft"] if blk["a_free"] else blk["kn"])
+                if has_b and emit_b:
+                    if blk["b_free"] == blk["a_free"]:
+                        force_b = force_a
+                    else:
+                        force_b, _ = force_with(blk["kn_soft"] if blk["b_free"] else blk["kn"])
+            if emit_a:
+                out += list(_sum_s3(force_a)) + list(_sum_s3(L.cross3(point, force_a)))
+            if emit_b:
+                out += list(_sum_s3(force_b)) + list(_sum_s3(L.cross3(point, force_b)))
+            if blk["swept"]:
+                out += list(point)
+                if not static_n:
+                    out += list(normal)
+                out.append(depth)
+            return tuple(out)
+
+        vals = list(_gcond(gate, _narrow))
+        if emit_a:
+            fA, nA = tuple(vals[0:3]), tuple(vals[3:6])
+            vals = vals[6:]
             plk_n[ba] = L.add3(plk_n[ba], nA)
             plk_f[ba] = L.add3(plk_f[ba], fA)
             net_cf[ba] = L.add3(net_cf[ba], fA)
-        if has_b and not blk["b_art"]:
-            fB = _sum_s3(force_b)
-            nB = _sum_s3(L.cross3(point, force_b))
+        if emit_b:
+            fB, nB = tuple(vals[0:3]), tuple(vals[3:6])
+            vals = vals[6:]
             plk_n[bb] = L.sub3(plk_n[bb], nB)
             plk_f[bb] = L.sub3(plk_f[bb], fB)
             net_cf[bb] = L.sub3(net_cf[bb], fB)
         if blk["swept"]:
-            swept_geo.append((blk, (point, normal, depth)))
+            point = tuple(vals[0:3])
+            vals = vals[3:]
+            normal = (0.0, 0.0, 1.0) if static_n else tuple(vals[0:3])
+            if not static_n:
+                vals = vals[3:]
+            depth = vals[0]
+            swept_geo.append((blk, (point, normal, depth), gate))
     return plk_n, plk_f, net_cf, swept_geo
 
 
@@ -584,12 +666,12 @@ def dynamics_lanes(scene, masks_list, state, pos, quat, linv, angv, axis_w,
     # mirroring physics/stacked.py + contact.impulse_contact_pass.
     couple_by_actor: Dict[int, list] = {}
     sta_bodies_by_actor: Dict[int, set] = {}
-    for blk, geo in swept_geo:
+    for blk, geo, gate in swept_geo:
         if blk["a_art"] or blk["b_art"]:
             art_b = blk["ba"] if blk["a_art"] else blk["bb"]
             aid = int(scene.body_actor[art_b])
             e = 1.0 if blk["a_art"] else -1.0
-            couple_by_actor.setdefault(aid, []).append((blk, geo, art_b, e))
+            couple_by_actor.setdefault(aid, []).append((blk, geo, art_b, e, gate))
         # art↔static stiction blocks need the actor's Ψ/factor too
         # (friction-only — they add NO implicit normal terms)
         if blk["a_sta"] or blk["b_sta"]:
@@ -765,32 +847,47 @@ def dynamics_lanes(scene, masks_list, state, pos, quat, linv, angv, axis_w,
             # with J_j = X·S_j over ancestor coords of the contact link,
             # X = (p×n, n), κ = dt·kn — batched over each block's S samples
             # and reduced with one sum per (i, j) coordinate pair.
-            for blk, geo, art_b, e in cpl:
-                pt, n, depth_raw = geo
-                depth_c = jnp.minimum(depth_raw, float(scene.max_contact_depth))
-                act = (depth_c > 0.0).astype(jnp.float32)
+            for blk, geo, art_b, e, gate in cpl:
                 lb = art_b - bo               # local link index
-                X6 = (*L.cross3(pt, n), *n)
                 sub_coords = [j for j in range(nv) if m.subtree[j, lb]]
-                Jc = {}
-                for j in sub_coords:
-                    Jc[j] = sum(X6[r] * S[j][r] for r in range(6))
-                kn_c = blk["kn"] / (tau_c_g * tau_c_g)
-                kd_c = 2.0 * blk["kn"] / tau_c_g
-                kap = dt * kn_c
-                ob = blk["bb"] if blk["a_art"] else blk["ba"]
-                v_oth = L.add3(linv[ob], L.cross3(angv[ob], L.sub3(pt, pos[ob])))
-                v_oth_n = L.dot3(v_oth, n)
-                coefM = dt * (kd_c + kap) * act
-                coefR = dt * (e * kn_c * jnp.maximum(depth_c, 0.0)
-                              + (kd_c + kap) * v_oth_n) * act
+
+                def _couple(blk=blk, geo=geo, e=e, sub_coords=sub_coords):
+                    pt, n, depth_raw = geo
+                    depth_c = jnp.minimum(depth_raw, float(scene.max_contact_depth))
+                    act = (depth_c > 0.0).astype(jnp.float32)
+                    X6 = (*L.cross3(pt, n), *n)
+                    Jc = {}
+                    for j in sub_coords:
+                        Jc[j] = sum(X6[r] * S[j][r] for r in range(6))
+                    kn_c = blk["kn"] / (tau_c_g * tau_c_g)
+                    kd_c = 2.0 * blk["kn"] / tau_c_g
+                    kap = dt * kn_c
+                    ob = blk["bb"] if blk["a_art"] else blk["ba"]
+                    v_oth = L.add3(linv[ob], L.cross3(angv[ob], L.sub3(pt, pos[ob])))
+                    v_oth_n = L.dot3(v_oth, n)
+                    coefM = dt * (kd_c + kap) * act
+                    coefR = dt * (e * kn_c * jnp.maximum(depth_c, 0.0)
+                                  + (kd_c + kap) * v_oth_n) * act
+                    out = []
+                    for i in sub_coords:
+                        out.append(jnp.sum(coefR * Jc[i], axis=0))
+                        MJi = coefM * Jc[i]
+                        for j in sub_coords:
+                            if j < i:
+                                continue
+                            out.append(jnp.sum(MJi * Jc[j], axis=0))
+                    return tuple(out)
+
+                vals = list(_gcond(gate, _couple))
+                vi = 0
                 for i in sub_coords:
-                    rhs[i] = rhs[i] + jnp.sum(coefR * Jc[i], axis=0)
-                    MJi = coefM * Jc[i]
+                    rhs[i] = rhs[i] + vals[vi]
+                    vi += 1
                     for j in sub_coords:
                         if j < i:
                             continue
-                        v = jnp.sum(MJi * Jc[j], axis=0)
+                        v = vals[vi]
+                        vi += 1
                         Msolve[i][j] = Msolve[i][j] + v
                         if j != i:
                             Msolve[j][i] = Msolve[j][i] + v
@@ -802,7 +899,7 @@ def dynamics_lanes(scene, masks_list, state, pos, quat, linv, angv, axis_w,
             # contact link (consumed by the two-way impulse sweeps)
             psi_by_body = {}
             art_bodies = sorted(
-                {cb for (_, _, cb, _) in (cpl or [])} | (sta_bodies or set())
+                {cb for (_, _, cb, _, _) in (cpl or [])} | (sta_bodies or set())
             )
             for b_g in art_bodies:
                 lb = b_g - bo
@@ -887,7 +984,8 @@ def dynamics_lanes(scene, masks_list, state, pos, quat, linv, angv, axis_w,
         # coefficient, contact-space inverse-mass matrices
         blk_act = []            # (S,8,128) activity per block
         blk_mu = []
-        for blk, geo in swept_geo:
+        for blk, geo, gate in swept_geo:
+            # gated-off blocks carry zero depth ⇒ act 0 — no cond needed here
             d_c = jnp.minimum(geo[2], dcap)
             blk_act.append((d_c > 0.0).astype(jnp.float32))
             fa_ = fric_scale[blk["ga_geom"]] if fric_scale is not None else 1.0
@@ -896,7 +994,7 @@ def dynamics_lanes(scene, masks_list, state, pos, quat, linv, angv, axis_w,
 
         count_body: Dict[int, object] = {}     # free bodies: Σ active
         count_act: Dict[int, object] = {}      # art actors: Σ active (art/sta)
-        for si, (blk, geo) in enumerate(swept_geo):
+        for si, (blk, geo, gate) in enumerate(swept_geo):
             act_sum = _sum_s(blk_act[si])
             for b2, fr2 in ((blk["ba"], blk["a_free"]), (blk["bb"], blk["b_free"])):
                 if fr2:
@@ -973,15 +1071,37 @@ def dynamics_lanes(scene, masks_list, state, pos, quat, linv, angv, axis_w,
                     floor = floor + inv_m[b2]
             return K, floor
 
-        K_cache = [_inv_mass_block(blk, geo) for blk, geo in swept_geo]
-        k_n_cache = [
-            _quad(K_cache[si], geo[1]) for si, (blk, geo) in enumerate(swept_geo)
-        ]
+        # gated K cache: a skipped block gets K=0 / floor=1 / k_n=1 — its
+        # impulses are exactly zero anyway (act=0), the nonzero floor only
+        # keeps the sweep's divisions finite
+        def _k_entry(blk, geo, gate):
+            def _live(blk=blk, geo=geo):
+                K, floor = _inv_mass_block(blk, geo)
+                kn_ = _quad((K, floor), geo[1])
+                return (tuple(tuple(K[i][j] + jnp.zeros(()) for j in range(3))
+                              for i in range(3)),
+                        floor + jnp.zeros(()), kn_)
+            if gate is None:
+                return _live()
+            shapes = jax.eval_shape(_live)
+            K0 = tuple(tuple(jnp.zeros(shapes[0][i][j].shape, shapes[0][i][j].dtype)
+                             for j in range(3)) for i in range(3))
+            return jax.lax.cond(
+                gate, _live,
+                lambda: (K0, jnp.ones(shapes[1].shape, shapes[1].dtype),
+                         jnp.ones(shapes[2].shape, shapes[2].dtype)))
+
+        K_cache = []
+        k_n_cache = []
+        for blk, geo, gate in swept_geo:
+            K_, floor_, kn_ = _k_entry(blk, geo, gate)
+            K_cache.append((K_, floor_))
+            k_n_cache.append(kn_)
         # per-block n_eff (a per-env tile): count over BOTH free sides plus
         # the articulated ACTOR's count (feet couple through a shared floating
         # base — per-body counts would let the base take ~4× the correction)
         n_eff_blk = []
-        for si, (blk, geo) in enumerate(swept_geo):
+        for si, (blk, geo, gate) in enumerate(swept_geo):
             ne = 0.0
             for b2, fr2 in ((blk["ba"], blk["a_free"]), (blk["bb"], blk["b_free"])):
                 if fr2:
@@ -994,7 +1114,7 @@ def dynamics_lanes(scene, masks_list, state, pos, quat, linv, angv, axis_w,
         # per-block fn_seed coefficients (friction-cone seeding from the
         # implicit/penalty normal force the velocity solve applied)
         def _fn_seed(si, vn):
-            blk, geo = swept_geo[si]
+            blk, geo, _ = swept_geo[si]
             depth = jnp.minimum(geo[2], dcap)
             if blk["a_sta"] or blk["b_sta"]:
                 kn_c = blk["kn"] / (tau_c * tau_c)
@@ -1035,27 +1155,45 @@ def dynamics_lanes(scene, masks_list, state, pos, quat, linv, angv, axis_w,
             unew = {aid: list(c_u[k]) for k, aid in enumerate(couple_aids)}
             return rlv, rav, unew, list(c_ln), [tuple(t3) for t3 in c_lt]
 
-        def _apply_block_impulses(si, imp, dP, dT, Y_body):
-            """Accumulate one block's summed impulses onto its free bodies
-            (Δp, Δτ about each body's root) and articulated links (Y6)."""
-            blk, geo = swept_geo[si]
+        def _block_contribs(si, imp):
+            """One block's summed impulse contributions as a flat list: per
+            FREE side 3 Δp + 3 Δτ (about the body root), then 6 Y (Plücker)
+            for an articulated/static side — computed INSIDE the block's
+            gated region so the S-axis reductions are skipped with it."""
+            blk, geo, _ = swept_geo[si]
             pt = geo[0]
+            out = []
             for b, fr, sgn in ((blk["ba"], blk["a_free"], 1.0), (blk["bb"], blk["b_free"], -1.0)):
                 if not fr:
                     continue
                 ai2 = body2actor[b]
                 si3 = L.scale3(imp, sgn)
-                dP[ai2] = L.add3(dP[ai2], _sum_s3(si3))
+                out += list(_sum_s3(si3))
                 r = L.sub3(pt, state["root_pos"][ai2])
-                dT[ai2] = L.add3(dT[ai2], _sum_s3(L.cross3(r, si3)))
+                out += list(_sum_s3(L.cross3(r, si3)))
             if (blk["a_art"] or blk["b_art"] or blk["a_sta"] or blk["b_sta"]) and TWO_WAY_SWEEPS:
                 art_is_a = blk["a_art"] or blk["a_sta"]
-                b_g = blk["ba"] if art_is_a else blk["bb"]
                 si3 = L.scale3(imp, 1.0 if art_is_a else -1.0)
-                Yc = (*_sum_s3(L.cross3(pt, si3)), *_sum_s3(si3))
+                out += list(_sum_s3(L.cross3(pt, si3))) + list(_sum_s3(si3))
+            return out
+
+        def _scatter_contribs(si, vals, dP, dT, Y_body):
+            """Accumulate _block_contribs output onto the shared Jacobi sums
+            (static routing — runs OUTSIDE the gated region)."""
+            blk = swept_geo[si][0]
+            vi = 0
+            for b, fr in ((blk["ba"], blk["a_free"]), (blk["bb"], blk["b_free"])):
+                if not fr:
+                    continue
+                ai2 = body2actor[b]
+                dP[ai2] = L.add3(dP[ai2], tuple(vals[vi:vi + 3]))
+                dT[ai2] = L.add3(dT[ai2], tuple(vals[vi + 3:vi + 6]))
+                vi += 6
+            if (blk["a_art"] or blk["b_art"] or blk["a_sta"] or blk["b_sta"]) and TWO_WAY_SWEEPS:
+                b_g = blk["ba"] if (blk["a_art"] or blk["a_sta"]) else blk["bb"]
                 Yb = Y_body[b_g]
                 for r in range(6):
-                    Yb[r] = Yb[r] + Yc[r]
+                    Yb[r] = Yb[r] + vals[vi + r]
 
         def _commit_deltas(dP, dT, Y_body, new_rlv, new_rav, unew_by):
             """Jacobi end-of-sweep apply: free-body velocity updates from the
@@ -1111,52 +1249,59 @@ def dynamics_lanes(scene, masks_list, state, pos, quat, linv, angv, axis_w,
                     return L.add3((v6[3], v6[4], v6[5]), L.cross3((v6[0], v6[1], v6[2]), point))
                 return L.add3(linv[b], L.cross3(angv[b], L.sub3(point, pos[b])))
 
-            for si, (blk, geo) in enumerate(swept_geo):
-                pt, n, depth_raw = geo
-                depth = jnp.minimum(depth_raw, dcap)
-                active = blk_act[si] > 0.0
-                target = jnp.minimum(beta * jnp.maximum(depth - slop, 0.0) / dt, 0.5)
-                va = body_vel_at(blk["ba"], pt)
-                vb = body_vel_at(blk["bb"], pt) if blk["has_b"] else (0.0, 0.0, 0.0)
-                v_rel = L.sub3(va, vb)
-                vn = L.dot3(v_rel, n)
-                is_sta_b = blk["a_sta"] or blk["b_sta"]
-                n_eff = n_eff_blk[si]
+            for si, (blk, geo, gate) in enumerate(swept_geo):
+                def _blk_sweep(si=si, blk=blk, geo=geo,
+                               ln0=lam_n[si], lt0=lam_t[si]):
+                    pt, n, depth_raw = geo
+                    depth = jnp.minimum(depth_raw, dcap)
+                    active = blk_act[si] > 0.0
+                    target = jnp.minimum(beta * jnp.maximum(depth - slop, 0.0) / dt, 0.5)
+                    va = body_vel_at(blk["ba"], pt)
+                    vb = body_vel_at(blk["bb"], pt) if blk["has_b"] else (0.0, 0.0, 0.0)
+                    v_rel = L.sub3(va, vb)
+                    vn = L.dot3(v_rel, n)
+                    is_sta_b = blk["a_sta"] or blk["b_sta"]
+                    n_eff = n_eff_blk[si]
 
-                if is_sta_b:
-                    # art↔static: FRICTION-ONLY (normal carried by the stiff
-                    # penalty — an impulse on top would double the support)
-                    imp = (0.0, 0.0, 0.0)
-                else:
-                    d_lam = jnp.where(
-                        active, -(vn - target) / (k_n_cache[si] * n_eff) * relax, 0.0
+                    if is_sta_b:
+                        # art↔static: FRICTION-ONLY (normal carried by the
+                        # stiff penalty — an impulse on top would double the
+                        # support)
+                        new_lam = ln0 + jnp.zeros_like(blk_act[si])
+                        imp = (0.0, 0.0, 0.0)
+                    else:
+                        d_lam = jnp.where(
+                            active, -(vn - target) / (k_n_cache[si] * n_eff) * relax, 0.0
+                        )
+                        new_lam = jnp.maximum(ln0 + d_lam, 0.0)
+                        d_impulse = new_lam - ln0
+                        imp = L.scale3(n, d_impulse)
+                    # friction: tangential impulse against the same frozen
+                    # snapshot, n_eff-split, vector cone projection on the
+                    # ACCUMULATED impulse (identical to impulse_contact_pass —
+                    # stiction must converge tightly or a grasped object
+                    # drifts through the pads)
+                    vt = L.sub3(v_rel, L.scale3(n, vn))
+                    vt_n = L.norm3(vt, eps=1e-9)
+                    t_dir = L.scale3(vt, 1.0 / vt_n)
+                    k_t = _quad(K_cache[si], t_dir)
+                    jt_try = tuple(
+                        jnp.where(active, -vt[i] / (k_t * n_eff), 0.0) for i in range(3)
                     )
-                    new_lam = jnp.maximum(lam_n[si] + d_lam, 0.0)
-                    d_impulse = new_lam - lam_n[si]
-                    lam_n[si] = new_lam
-                    imp = L.scale3(n, d_impulse)
-                # friction: tangential impulse against the same frozen
-                # snapshot, n_eff-split, vector cone projection on the
-                # ACCUMULATED impulse (identical to impulse_contact_pass —
-                # stiction must converge tightly or a grasped object drifts
-                # through the pads)
-                vt = L.sub3(v_rel, L.scale3(n, vn))
-                vt_n = L.norm3(vt, eps=1e-9)
-                t_dir = L.scale3(vt, 1.0 / vt_n)
-                k_t = _quad(K_cache[si], t_dir)
-                jt_try = tuple(
-                    jnp.where(active, -vt[i] / (k_t * n_eff), 0.0) for i in range(3)
-                )
-                fn_seed = _fn_seed(si, vn)
-                cap = blk_mu[si] * (lam_n[si] + fn_seed * dt)
-                lam_t_new = L.add3(lam_t[si], jt_try)
-                ltn = L.norm3(lam_t_new, eps=1e-9)
-                sc = jnp.minimum(1.0, cap / ltn)
-                lam_t_proj = L.scale3(lam_t_new, sc)
-                jt = L.sub3(lam_t_proj, lam_t[si])
-                lam_t[si] = lam_t_proj
-                imp = L.add3(imp, jt)
-                _apply_block_impulses(si, imp, dP, dT, Y_body)
+                    fn_seed = _fn_seed(si, vn)
+                    cap = blk_mu[si] * (new_lam + fn_seed * dt)
+                    lam_t_new = L.add3(lt0, jt_try)
+                    ltn = L.norm3(lam_t_new, eps=1e-9)
+                    sc = jnp.minimum(1.0, cap / ltn)
+                    lam_t_proj = L.scale3(lam_t_new, sc)
+                    jt = L.sub3(lam_t_proj, lt0)
+                    imp = L.add3(imp, jt)
+                    return (new_lam, *lam_t_proj, *_block_contribs(si, imp))
+
+                vals = _gcond(gate, _blk_sweep)
+                lam_n[si] = vals[0]
+                lam_t[si] = tuple(vals[1:4])
+                _scatter_contribs(si, list(vals[4:]), dP, dT, Y_body)
 
             new_rlv, new_rav, unew_by = _commit_deltas(
                 dP, dT, Y_body, new_rlv, new_rav, unew_by
@@ -1178,15 +1323,19 @@ def dynamics_lanes(scene, masks_list, state, pos, quat, linv, angv, axis_w,
             Yw = {b_g: [0.0] * 6 for b_g in body_actor_art}
             dPw = {ai2: (0.0, 0.0, 0.0) for ai2 in defer_list}
             dTw = {ai2: (0.0, 0.0, 0.0) for ai2 in defer_list}
-            for si, (blk, geo) in enumerate(swept_geo):
-                wn, wt = lam_warm[si]
-                act = blk_act[si]
-                lnw = wn * act
-                ltw = tuple(wt[i] * act for i in range(3))
-                lam0_n.append(lnw)
-                lam0_t.append(ltw)
-                imp = L.add3(L.scale3(geo[1], lnw), ltw)
-                _apply_block_impulses(si, imp, dPw, dTw, Yw)
+            for si, (blk, geo, gate) in enumerate(swept_geo):
+                def _warm(si=si, geo=geo):
+                    wn, wt = lam_warm[si]
+                    act = blk_act[si]
+                    lnw = wn * act
+                    ltw = tuple(wt[i] * act for i in range(3))
+                    imp = L.add3(L.scale3(geo[1], lnw), ltw)
+                    return (lnw, *ltw, *_block_contribs(si, imp))
+
+                vals = _gcond(gate, _warm)
+                lam0_n.append(vals[0])
+                lam0_t.append(tuple(vals[1:4]))
+                _scatter_contribs(si, list(vals[4:]), dPw, dTw, Yw)
             unew0 = {aid: art_ctx[aid]["u_new"] for aid in couple_aids}
             rlv0 = {ai2: new_rlv[ai2] for ai2 in defer_list}
             rav0 = {ai2: new_rav[ai2] for ai2 in defer_list}
@@ -1232,54 +1381,67 @@ def dynamics_lanes(scene, masks_list, state, pos, quat, linv, angv, axis_w,
                     v6f[b_g] = v6
             A_by: Dict[int, list] = {}
             b_by: Dict[int, list] = {}
-            for si, (blk, geo) in enumerate(swept_geo):
+            for si, (blk, geo, gate) in enumerate(swept_geo):
                 if not (blk["a_art"] or blk["b_art"]):
                     continue
-                pt, n, depth_raw = geo
-                act = blk_act[si]
-                b_art_g = blk["ba"] if blk["a_art"] else blk["bb"]
                 b_free_g = blk["bb"] if blk["a_art"] else blk["ba"]
-                e_snap = -1.0 if blk["a_art"] else 1.0   # +1 when FREE is side a
-                ai2 = body2actor[b_free_g]
-                v_free = L.add3(new_rlv[ai2], L.cross3(new_rav[ai2], L.sub3(pt, state["root_pos"][ai2])))
-                v6 = v6f[b_art_g]
-                v_art = L.add3((v6[3], v6[4], v6[5]), L.cross3((v6[0], v6[1], v6[2]), pt))
-                # v_rel in candidate (a−b) order
-                v_rel = L.sub3(v_art, v_free) if blk["a_art"] else L.sub3(v_free, v_art)
-                vn_f = L.dot3(v_rel, n)
-                kn_c = blk["kn"] / (tau_c * tau_c)
-                kd_c = 2.0 * blk["kn"] / tau_c
-                fn_imp = jnp.maximum(
-                    kn_c * jnp.maximum(jnp.minimum(depth_raw, dcap), 0.0)
-                    - (kd_c + dt * kn_c) * vn_f, 0.0
-                )
-                cap_f = blk_mu[si] * (lamf_n[si] + fn_imp * dt)
-                lt_n = L.norm3(lamf_t[si], eps=0.0)
-                w_st = act * (lt_n < 0.98 * cap_f).astype(jnp.float32)
-                r_free = L.sub3(pt, state["root_pos"][ai2])
-                # X (3,6): point-velocity map of the free body, ξ=(Δω, Δv)
-                # rows: v_pt = Δv + Δω×r → X = [−skew(r) | I]
-                sk = (
-                    (0.0, r_free[2], -r_free[1]),
-                    (-r_free[2], 0.0, r_free[0]),
-                    (r_free[1], -r_free[0], 0.0),
-                )   # = −skew(r)
-                P = [[(1.0 if i == j else 0.0) - n[i] * n[j] for j in range(3)] for i in range(3)]
-                X = [[sk[i][0], sk[i][1], sk[i][2], 1.0 if i == 0 else 0.0,
-                      1.0 if i == 1 else 0.0, 1.0 if i == 2 else 0.0] for i in range(3)]
                 if b_free_g not in A_by:
                     A_by[b_free_g] = [[0.0] * 6 for _ in range(6)]
                     b_by[b_free_g] = [0.0] * 6
-                PX = [[sum(P[i][k2] * X[k2][j] for k2 in range(3)) for j in range(6)] for i in range(3)]
-                Pv = [sum(P[i][k2] * (e_snap * v_rel[k2]) for k2 in range(3)) for i in range(3)]
+
+                def _snap_rows(si=si, blk=blk, geo=geo, b_free_g=b_free_g):
+                    pt, n, depth_raw = geo
+                    act = blk_act[si]
+                    b_art_g = blk["ba"] if blk["a_art"] else blk["bb"]
+                    e_snap = -1.0 if blk["a_art"] else 1.0   # +1: FREE is side a
+                    ai2 = body2actor[b_free_g]
+                    v_free = L.add3(new_rlv[ai2], L.cross3(new_rav[ai2], L.sub3(pt, state["root_pos"][ai2])))
+                    v6 = v6f[b_art_g]
+                    v_art = L.add3((v6[3], v6[4], v6[5]), L.cross3((v6[0], v6[1], v6[2]), pt))
+                    # v_rel in candidate (a−b) order
+                    v_rel = L.sub3(v_art, v_free) if blk["a_art"] else L.sub3(v_free, v_art)
+                    vn_f = L.dot3(v_rel, n)
+                    kn_c = blk["kn"] / (tau_c * tau_c)
+                    kd_c = 2.0 * blk["kn"] / tau_c
+                    fn_imp = jnp.maximum(
+                        kn_c * jnp.maximum(jnp.minimum(depth_raw, dcap), 0.0)
+                        - (kd_c + dt * kn_c) * vn_f, 0.0
+                    )
+                    cap_f = blk_mu[si] * (lamf_n[si] + fn_imp * dt)
+                    lt_n = L.norm3(lamf_t[si], eps=0.0)
+                    w_st = act * (lt_n < 0.98 * cap_f).astype(jnp.float32)
+                    r_free = L.sub3(pt, state["root_pos"][ai2])
+                    # X (3,6): point-velocity map of the free body, ξ=(Δω, Δv)
+                    # rows: v_pt = Δv + Δω×r → X = [−skew(r) | I]
+                    sk = (
+                        (0.0, r_free[2], -r_free[1]),
+                        (-r_free[2], 0.0, r_free[0]),
+                        (r_free[1], -r_free[0], 0.0),
+                    )   # = −skew(r)
+                    P = [[(1.0 if i == j else 0.0) - n[i] * n[j] for j in range(3)] for i in range(3)]
+                    X = [[sk[i][0], sk[i][1], sk[i][2], 1.0 if i == 0 else 0.0,
+                          1.0 if i == 1 else 0.0, 1.0 if i == 2 else 0.0] for i in range(3)]
+                    PX = [[sum(P[i][k2] * X[k2][j] for k2 in range(3)) for j in range(6)] for i in range(3)]
+                    Pv = [sum(P[i][k2] * (e_snap * v_rel[k2]) for k2 in range(3)) for i in range(3)]
+                    out = []
+                    for i in range(6):
+                        out.append(-_sum_s(w_st * sum(X[k2][i] * Pv[k2] for k2 in range(3))))
+                        for j in range(6):
+                            out.append(_sum_s(
+                                w_st * sum(X[k2][i] * PX[k2][j] for k2 in range(3))
+                            ))
+                    return tuple(out)
+
+                vals = _gcond(gate, _snap_rows)
                 A_c = A_by[b_free_g]
                 b_c = b_by[b_free_g]
+                vi = 0
                 for i in range(6):
-                    b_c[i] = b_c[i] - _sum_s(w_st * sum(X[k2][i] * Pv[k2] for k2 in range(3)))
+                    b_c[i] = b_c[i] + vals[vi]
+                    vi += 1
                     for j in range(6):
-                        A_c[i][j] = A_c[i][j] + _sum_s(
-                            w_st * sum(X[k2][i] * PX[k2][j] for k2 in range(3))
-                        )
+                        A_c[i][j] = A_c[i][j] + vals[vi]
+                        vi += 1
             for b_free_g, A_c in A_by.items():
                 ai2 = body2actor[b_free_g]
                 A_reg = [[A_c[i][j] + (1e-4 if i == j else 0.0) for j in range(6)] for i in range(6)]

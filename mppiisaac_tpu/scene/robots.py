@@ -310,8 +310,14 @@ def panda(variant: str = "bare", prefix: str = "panda") -> str:
         u.joint(f"{prefix}_hand_joint", "fixed", f"{prefix}_link8", f"{prefix}_hand",
                 rpy=(0, 0, -_PI / 4))
         for fi, sy in (("1", 1), ("2", -1)):
+            # finger pad INNER face flush with the grasp plane (real Franka
+            # finger collision extends outward from the joint plane): a
+            # CENTERED 14 mm box leaves only 2q−14 mm between the pads — at
+            # the pick tasks' straddle/comfy grips that is LESS than the 4 cm
+            # block, so caging was geometrically impossible (r4 omni root
+            # cause; see conf/actors/omnipanda_effort.yaml comfy 0.025)
             u.link(f"{prefix}_finger{fi}", mass=0.015,
-                   geoms=[("box", (0.034, 0.014, 0.05), (0, sy * 0.0, 0.028), (0, 0, 0))])
+                   geoms=[("box", (0.034, 0.014, 0.05), (0, sy * 0.007, 0.028), (0, 0, 0))])
             u.joint(f"{prefix}_finger_joint{fi}", "prismatic",
                     f"{prefix}_hand", f"{prefix}_finger{fi}",
                     xyz=(0, sy * 0.0, 0.0584), axis=(0, sy, 0),
@@ -349,8 +355,9 @@ def omni_panda() -> str:
            geoms=[("box", (0.06, 0.2, 0.08), (0, 0, 0.03), (0, 0, 0))])
     u.joint("panda_hand_joint", "fixed", "panda_link8", "panda_hand", rpy=(0, 0, -_PI / 4))
     for fi, sy in (("1", 1), ("2", -1)):
+        # pad inner face flush with the grasp plane — see _panda_arm gripper
         u.link(f"panda_finger{fi}", mass=0.015,
-               geoms=[("box", (0.034, 0.014, 0.05), (0, 0, 0.028), (0, 0, 0))])
+               geoms=[("box", (0.034, 0.014, 0.05), (0, sy * 0.007, 0.028), (0, 0, 0))])
         u.joint(f"panda_finger_joint{fi}", "prismatic", "panda_hand", f"panda_finger{fi}",
                 xyz=(0, 0, 0.0584), axis=(0, sy, 0),
                 lower=0.0, upper=0.04, effort=20, velocity=0.2)

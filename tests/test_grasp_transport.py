@@ -16,8 +16,12 @@ def _specs():
         ActorSpec(
             type="robot", name="panda", urdf_file="panda_gripper", fixed=True,
             gravity=False, gripper_binarize=True, gripper_open_threshold=0.25,
+            # fingers start at 0.025 (5 cm pad gap with the flush pads — the
+            # same 1 cm capture clearance this test staged before the r4
+            # pad-offset fix): the block free-falls while the pads close, so
+            # capture must land within ~0.05 s or it drops past them
             init_joint_pose=[0.0, 0, -0.94, 0, 0.0, 0, -2.8, 0, 0.0, 0,
-                             1.8675, 0, 0.0, 0, 0.035, 0.0, 0.035, 0.0],
+                             1.8675, 0, 0.0, 0, 0.025, 0.0, 0.025, 0.0],
         ),
         ActorSpec(type="box", name="block", size=[0.04, 0.04, 0.04],
                   mass=0.001, friction=1.0,
