@@ -33,7 +33,17 @@ def _enable_persistent_compile_cache():
                     if line.startswith("flags"):
                         flags = " ".join(sorted(line.split(":")[1].split()))
                         break
-            fp = hashlib.sha1(flags.encode()).hexdigest()[:10]
+            # the axon plugin remote-compiles (PALLAS_AXON_REMOTE_COMPILE) on
+            # a server whose CPU ISA differs from this host; XLA:CPU AOT
+            # artifacts it writes SEGFAULT when reloaded by a plugin-free
+            # local run (r5: warm `pytest` rerun crashed at test 68). Keep
+            # plugin-on and plugin-free caches apart.
+            import sys as _sys
+
+            axon = any("axon" in (p or "") for p in _sys.path)
+            fp = hashlib.sha1(flags.encode()).hexdigest()[:10] + (
+                "-axon" if axon else "-local"
+            )
         except Exception:
             fp = "generic"
         loc = _os.path.join(

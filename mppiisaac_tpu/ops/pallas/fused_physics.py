@@ -44,6 +44,7 @@ from ...physics.model import (
     JOINT_PRISMATIC,
     JOINT_REVOLUTE,
 )
+from ...physics.stacked import DAMP_CAP_BETA as _DAMP_BETA
 from ...physics.urdf import GEOM_BOX, GEOM_CAPSULE
 from . import lanes as L
 
@@ -85,12 +86,16 @@ def block_gate(scene, blk, pos, margin=1e-3):
     contributes exactly zero everywhere and may be skipped whole."""
     ra = _geom_bound(scene, blk["ga_geom"])
     ca = pos[blk["ba"]]
+    # NaN-safe: a diverged sample must keep the contact pipeline LIVE (the
+    # ungated code propagates NaN through the contact math); `any(x <= thr)`
+    # is False for all-NaN, so write the predicate as ~all(separated) —
+    # NaN comparisons make `separated` False, keeping the block on.
     if not blk["has_b"]:
-        return jnp.any(ca[2] <= ra + margin)
+        return ~jnp.all(ca[2] > ra + margin)
     rb = _geom_bound(scene, blk["gb_geom"])
     d = L.sub3(ca, pos[blk["bb"]])
     thr = ra + rb + margin
-    return jnp.any(L.dot3(d, d) <= thr * thr)
+    return ~jnp.all(L.dot3(d, d) > thr * thr)
 
 
 def _gcond(gate, fn):
@@ -337,8 +342,16 @@ def build_pair_blocks(scene, tables):
             b_art=bool(has_b and tables.b_art[r0] > 0),
             a_sta=bool(tables.a_sta[r0] > 0),
             b_sta=bool(has_b and tables.b_sta[r0] > 0),
+            npts=float(tables.n_pts[r0]) if len(tables.n_pts) else 4.0,
         )
         blk["swept"] = blk["a_free"] or blk["b_free"] or blk["a_sta"] or blk["b_sta"]
+        # free-side body mass for couple blocks — the damper cap scale (see
+        # physics/stacked.py DAMP_CAP_BETA)
+        if blk["a_art"] or blk["b_art"]:
+            ob = bb if blk["a_art"] else ba
+            ai_o = int(scene.body_actor[ob])
+            blk["m_oth"] = float(scene.actors[ai_o].mass[ob - scene.body_offset[ai_o]])
+            blk["ob"] = ob
         # box-sample offset table rows (bp/bbA/bbc sample ga's box; bbB gb's)
         if kind in ("bp", "bbA", "bbB", "bbc"):
             host = ga if kind != "bbB" else gb
@@ -455,9 +468,11 @@ def contacts_lanes(scene, tables, pos, quat, linv, angv, fric_scale, dt_sub,
                    sconst=None):
     """→ (plk_n[b], plk_f[b] Plücker force 3-tuples, net_cf[b], swept_geo).
 
-    swept_geo: list of (block, (point, normal, depth)) for blocks touching a
-    FREE rigid body or an articulated stiction link — consumed by the in-kernel
-    mass-splitting Jacobi impulse sweeps. Geometry is computed ONCE here and
+    swept_geo: list of (block, (point, normal, depth), gate) for blocks
+    touching a FREE rigid body or an articulated stiction link — consumed by
+    the in-kernel mass-splitting Jacobi impulse sweeps. `gate` is the block's
+    broadphase scalar predicate (None when BROADPHASE_GATE is off); every
+    downstream gated region re-uses it. Geometry is computed ONCE here and
     reused by every consumer in dynamics_lanes.
 
     sconst: the box-sample offset table (see build_pair_blocks), broadcast to
@@ -641,8 +656,10 @@ def dynamics_lanes(scene, masks_list, state, pos, quat, linv, angv, axis_w,
     masks_list: per-actor ActorMasks (from physics.dynamics.build_actor_masks).
     mass_scale: list of per-body tiles (or floats). Mutates/returns new state dict.
 
-    swept_geo: list of (pair block, (point, normal, depth)) from contacts_lanes
-    — the impulse-pass workload, batched over each block's manifold samples.
+    swept_geo: list of (pair block, (point, normal, depth), gate) from
+    contacts_lanes — the impulse-pass workload, batched over each block's
+    manifold samples; `gate` is the block's broadphase predicate (None when
+    BROADPHASE_GATE is off).
 
     world_fidelity=True (the fused WORLD step; K=1 so VMEM is plentiful)
     adds PhysX-style warm starting from state["lam"] (persisting across
@@ -860,9 +877,17 @@ def dynamics_lanes(scene, masks_list, state, pos, quat, linv, angv, axis_w,
                     for j in sub_coords:
                         Jc[j] = sum(X6[r] * S[j][r] for r in range(6))
                     kn_c = blk["kn"] / (tau_c_g * tau_c_g)
-                    kd_c = 2.0 * blk["kn"] / tau_c_g
-                    kap = dt * kn_c
+                    # damper capped at the free side's momentum-transfer
+                    # scale (see physics/stacked.py DAMP_CAP_BETA): the raw
+                    # kd pried fingers open with ~200 N phantom forces on
+                    # sweep-onset velocity transients (r4 transport slip)
                     ob = blk["bb"] if blk["a_art"] else blk["ba"]
+                    kd_c = jnp.minimum(
+                        2.0 * blk["kn"] / tau_c_g,
+                        _DAMP_BETA * blk["m_oth"] * mass_scale[ob]
+                        / (dt * blk["npts"]),
+                    )
+                    kap = dt * kn_c
                     v_oth = L.add3(linv[ob], L.cross3(angv[ob], L.sub3(pt, pos[ob])))
                     v_oth_n = L.dot3(v_oth, n)
                     coefM = dt * (kd_c + kap) * act
@@ -1122,7 +1147,11 @@ def dynamics_lanes(scene, masks_list, state, pos, quat, linv, angv, axis_w,
                 return jnp.maximum(kn_c * jnp.maximum(depth, 0.0) - kd_c * vn, 0.0)
             if (blk["a_art"] or blk["b_art"]) and TWO_WAY_SWEEPS:
                 kn_c = blk["kn"] / (tau_c * tau_c)
-                kd_c = 2.0 * blk["kn"] / tau_c
+                kd_c = jnp.minimum(
+                    2.0 * blk["kn"] / tau_c,
+                    _DAMP_BETA * blk["m_oth"] * mass_scale[blk["ob"]]
+                    / (dt * blk["npts"]),
+                )
                 return jnp.maximum(
                     kn_c * jnp.maximum(depth, 0.0) - (kd_c + dt * kn_c) * vn, 0.0
                 )
@@ -1402,7 +1431,11 @@ def dynamics_lanes(scene, masks_list, state, pos, quat, linv, angv, axis_w,
                     v_rel = L.sub3(v_art, v_free) if blk["a_art"] else L.sub3(v_free, v_art)
                     vn_f = L.dot3(v_rel, n)
                     kn_c = blk["kn"] / (tau_c * tau_c)
-                    kd_c = 2.0 * blk["kn"] / tau_c
+                    kd_c = jnp.minimum(
+                        2.0 * blk["kn"] / tau_c,
+                        _DAMP_BETA * blk["m_oth"] * mass_scale[blk["ob"]]
+                        / (dt * blk["npts"]),
+                    )
                     fn_imp = jnp.maximum(
                         kn_c * jnp.maximum(jnp.minimum(depth_raw, dcap), 0.0)
                         - (kd_c + dt * kn_c) * vn_f, 0.0

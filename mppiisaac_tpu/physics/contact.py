@@ -62,6 +62,7 @@ class ContactTables:
     con_geom_a: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int32))
     con_geom_b: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int32))  # -1 = plane
     kn_base: np.ndarray = field(default_factory=lambda: np.zeros(0))   # m_eff / n_pts
+    n_pts: np.ndarray = field(default_factory=lambda: np.zeros(0))     # manifold divisor per candidate
     mu_base: np.ndarray = field(default_factory=lambda: np.zeros(0))
     kn_base_soft: np.ndarray = field(default_factory=lambda: np.zeros(0))  # mass-scaled (stable on free bodies)
     a_free: np.ndarray = field(default_factory=lambda: np.zeros(0, np.float32))
@@ -284,7 +285,7 @@ def build_contact_tables(scene: SceneModel,
         bbc_a=arr(bbc_a_l), bbc_b=arr(bbc_b_l),
         n_con=n,
         con_geom_a=ga_arr, con_geom_b=gb_arr,
-        kn_base=meff / npts, kn_base_soft=meff_soft / npts, mu_base=mu,
+        kn_base=meff / npts, n_pts=npts, kn_base_soft=meff_soft / npts, mu_base=mu,
         a_free=a_free_l, b_free=b_free_l,
         a_art=a_art_l, b_art=b_art_l,
         a_sta=a_sta_l, b_sta=b_sta_l,

@@ -49,6 +49,10 @@ _F32 = np.float32
 # precision is bf16, which destabilizes contact dynamics within a few substeps
 _PREC = jax.lax.Precision.HIGHEST
 
+# couple-contact damper cap margin (see stacked_substep implicit couple
+# terms): kd_eff ≤ DAMP_CAP_BETA · m_free / (dt · n_pts)
+DAMP_CAP_BETA = 4.0
+
 
 @dataclass
 class StackedModel:
@@ -585,6 +589,18 @@ def stacked_substep(
             J = jnp.einsum("ci,vi->cv", X, Phi, precision=_PREC)             # (nc,nv)
             kn_c = jnp.asarray(tables.kn_base[C] / (tau_c * tau_c), dt_)
             kd_c = jnp.asarray(2.0 * tables.kn_base[C] / tau_c, dt_)
+            # DAMPER cap at the free side's momentum-transfer scale: the raw
+            # kd (≈400 N·s/m at pick scales) treats the free body as an
+            # infinite-mass boundary, so a transient pad↔block approach of
+            # ~0.5 m/s (sweep onset) produced ~200 N phantom forces that pried
+            # fingers open and flung grasps (r4 transport slip). A free body of
+            # mass m can absorb at most ~m·|v_rel|/dt of damping force, so
+            # kd_eff ≤ β·m_oth/(dt·n_pts). The implicit-SPRING term κ = dt·kn
+            # stays uncapped — it carries the stall force and the
+            # unconditional stability of the solve.
+            m_oth_s = jnp.asarray(m.mass[other], dt_) * params.body_mass_scale[other]
+            kd_cap = DAMP_CAP_BETA * m_oth_s / (dt * jnp.asarray(tables.n_pts[C], dt_))
+            kd_c = jnp.minimum(kd_c, kd_cap)
             kap = dt * kn_c
             v_oth = lin_b[other] + jnp.cross(w_b[other], p_c - body_pos[other])
             v_oth_n = jnp.sum(v_oth * n_c, -1)

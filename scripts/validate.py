@@ -46,7 +46,7 @@ def _record(kind, summary):
     """Versioned task-suite gate: append this run's summary to the committed
     RESULTS_r{N}.json so red→green diffs are visible in-tree every round
     (round-2 verdict: results lived only in /tmp and died with the machine)."""
-    rnd = os.environ.get("VALIDATE_ROUND", "3")
+    rnd = os.environ.get("VALIDATE_ROUND", "5")
     path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                         f"RESULTS_r{rnd}.json")
     doc = {}
