@@ -839,10 +839,23 @@ def dynamics_lanes(scene, masks_list, state, pos, quat, linv, angv, axis_w,
             elif mode == DRIVE_EFFORT:
                 tk = jnp.clip(tgt, -effort, effort)
                 dk = kd
+                if "finger" in art.dof_names[kdof]:
+                    # motor-curve damping |u|/v_max + load-proportional
+                    # spindle stiction (same law as stacked finger_motor): a
+                    # constant force on a 15 g finger bang-bangs on contact
+                    # and juggles the caged block out of the grasp; the
+                    # stiction arrests the free closing-axis translation mode
+                    from ...physics.stacked import MU_SPINDLE as _MU_SP
+
+                    dk = dk + jnp.abs(tk) * (
+                        1.0 / max(float(art.dof_maxvel[kdof]), 1e-6)
+                        + _MU_SP / (jnp.abs(qdk) + 0.02)
+                    )
             else:
                 tk, dk = 0.0, 0.0
             dk = dk + float(art.dof_damping[kdof])
-            tk = tk - float(art.dof_friction[kdof]) * jnp.tanh(qdk / 0.02)
+            # implicit Coulomb friction (same law as stacked.drive_terms_stacked)
+            dk = dk + float(art.dof_friction[kdof]) / (jnp.abs(qdk) + 0.02)
             lo = float(art.dof_lower[kdof])
             hi = float(art.dof_upper[kdof])
             below = jnp.maximum(lo - qk, 0.0)

@@ -52,6 +52,10 @@ _PREC = jax.lax.Precision.HIGHEST
 # couple-contact damper cap margin (see stacked_substep implicit couple
 # terms): kd_eff ≤ DAMP_CAP_BETA · m_free / (dt · n_pts)
 DAMP_CAP_BETA = 4.0
+# effort-finger spindle stiction coefficient: implicit resistance μ_s·|u|
+# against back-driving, as a fraction of the commanded axial load (see
+# drive_terms_stacked). 0.3 ⇒ a −6 N squeeze resists ~1.8 N of lateral walk.
+MU_SPINDLE = 0.3
 
 
 @dataclass
@@ -108,6 +112,10 @@ class StackedModel:
     uscatter: np.ndarray = field(default_factory=lambda: np.zeros((0, 0), _F32))
     body_jdof_clipped: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int32))
     dof_gate_body: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int32))
+    # effort-mode FINGER dofs (D,): 1.0 where the raw-effort command drives a
+    # gripper finger. These get the implicit motor curve τ = u − (|u|/v_max)qd⁺
+    # instead of a bare constant force (see drive_terms_stacked).
+    finger_motor: np.ndarray = field(default_factory=lambda: np.zeros(0, _F32))
 
 
 def build_stacked(scene: SceneModel) -> StackedModel:
@@ -264,8 +272,24 @@ def build_stacked(scene: SceneModel) -> StackedModel:
     from .model import DRIVE_VELOCITY as _DRV
 
     dof_gate_body = np.full(D, -1, np.int32)
+    # effort-mode fingers: implicit motor-curve drive (see drive_terms_stacked).
+    # A raw constant force on a 15 g finger slams it at the ±v_max clamp and
+    # bang-bangs on contact — the closing pads then juggle/eject a caged block
+    # (the omni_panda_pick 0/5 root cause, r5): two constant-force fingers give
+    # the finger+block system an UNDAMPED free-translation mode along the
+    # closing axis, and every re-contact injects energy. A real gripper motor
+    # (and PhysX's drive+maxJointVelocity solve) delivers u at stall and
+    # nothing at the velocity limit — implicitly: τ(qd⁺) = u − (|u|/v_max)·qd⁺,
+    # which is ~30 N·s/m of drive-side damping for the Franka finger. Joint-
+    # space damping is transport-safe (unlike contact-side damping, which
+    # phantom-forces a swept grasp — the r4 slip bug).
+    from .model import DRIVE_EFFORT as _DRE
+
+    finger_motor = np.zeros(D, _F32)
     for ai, art in enumerate(scene.actors):
         for k, jn in enumerate(art.dof_names):
+            if "finger" in jn and int(art.drive_mode[k]) == _DRE:
+                finger_motor[scene.dof_offset[ai] + k] = 1.0
             if "finger" in jn and int(art.drive_mode[k]) == _DRV:
                 for i in range(art.nbody):
                     if art.dof_index[i] == k:
@@ -301,6 +325,7 @@ def build_stacked(scene: SceneModel) -> StackedModel:
         base_pick=base_pick, joint_pick=joint_pick, uscatter=uscatter,
         body_jdof_clipped=body_jdof_clipped,
         dof_gate_body=dof_gate_body,
+        finger_motor=finger_motor,
     )
 
 
@@ -445,6 +470,19 @@ def drive_terms_stacked(m: StackedModel, q, qd, dof_target, dt):
     pos_d = kp_eff * dt + kd
 
     eff_tau = jnp.clip(dof_target, -effort, effort)
+    # effort-mode finger dofs (see build_stacked's finger_motor): motor-curve
+    # damping |u|/v_max (force u at stall, →0 at the velocity limit) PLUS
+    # load-proportional spindle stiction μ_s·|u| applied implicitly — a
+    # Franka-style screw-driven finger resists back-driving in proportion to
+    # its axial load. Without the stiction, two constant-force fingers + a
+    # caged block form a free translation mode along the closing axis (the
+    # drive forces cancel) and any sustained lateral load walks the grasp off
+    # the pads (r5 omni lift slip). Velocity/position fingers need neither:
+    # their drive damping is already the anchor.
+    eff_d = kd + jnp.asarray(m.finger_motor, dt_) * jnp.abs(eff_tau) * (
+        1.0 / jnp.maximum(jnp.asarray(m.dof_maxvel, dt_), 1e-6)
+        + MU_SPINDLE / (jnp.abs(qd) + 0.02)
+    )
 
     tau = jnp.where(
         mode == DRIVE_VELOCITY, vel_tau,
@@ -454,10 +492,16 @@ def drive_terms_stacked(m: StackedModel, q, qd, dof_target, dt):
     d_imp = jnp.where(
         mode == DRIVE_VELOCITY, vel_d,
         jnp.where(mode == DRIVE_POSITION, pos_d,
-                  jnp.where(mode == DRIVE_EFFORT, kd, 0.0)),
+                  jnp.where(mode == DRIVE_EFFORT, eff_d, 0.0)),
     )
     d_imp = d_imp + jnp.asarray(m.dof_damping, dt_)
-    tau = tau - jnp.asarray(m.dof_friction, dt_) * jnp.tanh(qd / 0.02)
+    # Coulomb joint friction, IMPLICIT: F = -f·qd⁺/(|qd|+v_eps) enters the
+    # velocity solve as damping f/(|qd|+v_eps) — near-rest that is a ~f/v_eps
+    # N·s/m anchor (true stiction behavior), and unlike the former explicit
+    # -f·tanh(qd/v_eps) force it cannot destabilize a light link (a 15 g
+    # finger with 2 N friction saw a 100 N·s/m EXPLICIT damper at rest, which
+    # lagged grasp micro-adjustments and walked held blocks off the pads)
+    d_imp = d_imp + jnp.asarray(m.dof_friction, dt_) / (jnp.abs(qd) + 0.02)
     # joint limits
     lo = jnp.asarray(m.dof_lower, dt_)
     hi = jnp.asarray(m.dof_upper, dt_)

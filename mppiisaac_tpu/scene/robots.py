@@ -54,7 +54,7 @@ class U:
 
     def joint(self, name, jtype, parent, child, xyz=(0, 0, 0), rpy=(0, 0, 0),
               axis=(0, 0, 1), lower=None, upper=None, effort=100.0, velocity=10.0,
-              damping=0.0):
+              damping=0.0, friction=0.0):
         s = [f'  <joint name="{name}" type="{jtype}">']
         s.append(f'    <parent link="{parent}"/><child link="{child}"/>')
         s.append(f'    <origin xyz="{xyz[0]} {xyz[1]} {xyz[2]}" rpy="{rpy[0]} {rpy[1]} {rpy[2]}"/>')
@@ -66,8 +66,8 @@ class U:
                 s.append(f'    <limit effort="{effort}" velocity="{velocity}"/>')
             else:
                 s.append(f'    <limit lower="{lo}" upper="{hi}" effort="{effort}" velocity="{velocity}"/>')
-            if damping:
-                s.append(f'    <dynamics damping="{damping}"/>')
+            if damping or friction:
+                s.append(f'    <dynamics damping="{damping}" friction="{friction}"/>')
         s.append("  </joint>")
         self.parts.append("\n".join(s))
 

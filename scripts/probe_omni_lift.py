@@ -127,40 +127,60 @@ def main():
     nu = world.nu
     t = 0
     report("start", t)
-    # phase 1: squeeze (fingers effort -6 N), hold everything else
-    for _ in range(40):
+
+    # effort mode gives RAW torques: zero arm effort = the arm free-falls
+    # (r5: the original phases commanded zero arm torque, the arm collapsed
+    # in 1.6 s and flung the block 2.8 m — the probe tested arm-collapse, not
+    # grasping). Hold the captured arm pose with a PD in effort space, and
+    # servo the base DOFs to stand still.
+    q_hold = np.asarray(world.state.q[0]).copy()
+
+    def pd_hold(F_extra=None):
+        st = world.state
+        q = np.asarray(st.q[0])
+        qd = np.asarray(st.qd[0])
         u = np.zeros(nu, np.float32)
+        # base x/y/yaw: damp to rest (effort bounds +-80 N)
+        u[0:3] = np.clip(-200.0 * (q[0:3] - q_hold[0:3]) - 60.0 * qd[0:3], -80, 80)
+        # arm: PD to the captured pose (bounds +-20 Nm)
+        u[3:10] = np.clip(
+            -60.0 * (q[3:10] - q_hold[3:10]) - 8.0 * qd[3:10], -20, 20
+        )
+        if F_extra is not None:
+            u[3:10] = np.clip(u[3:10] + arm_tau(F_extra), -20, 20)
         u[-2:] = -6.0
-        world.apply_robot_cmd(u[None])
+        return u
+
+    # phase 1: squeeze (fingers effort -6 N), PD-hold everything else
+    for _ in range(40):
+        world.apply_robot_cmd(pd_hold()[None])
         world.step()
         t += 1
     report("squeezed", t)
-    # phase 2: lift — J^T [0,0,fz] on the arm, keep squeezing
+    # phase 2: lift — raise the arm PD setpoint of the shoulder/elbow toward
+    # a lifted pose while keeping J^T Fz assist and the squeeze
     for _ in range(100):
-        u = np.zeros(nu, np.float32)
-        u[-2:] = -6.0
-        u[3:10] = arm_tau(np.array([0.0, 0.0, fz]))
-        world.apply_robot_cmd(u[None])
+        q_hold[3:10] += 0.002 * np.array([0.0, -1.0, 0.0, 1.0, 0.0, -0.5, 0.0])
+        world.apply_robot_cmd(pd_hold(np.array([0.0, 0.0, fz]))[None])
         world.step()
         t += 1
         if t % 40 == 0:
             report("lift", t)
     report("lifted", t)
-    # phase 3: carry — base velocity servo toward goal y, keep arm lift force
-    for _ in range(400):
-        st = world.state
-        qd = np.asarray(st.qd[0])
-        u = np.zeros(nu, np.float32)
-        u[-2:] = -6.0
-        u[3:10] = arm_tau(np.array([0.0, 0.0, fz]))
-        u[1] = np.clip(30.0 * (vy_des - qd[1]), -80, 80)
-        world.apply_robot_cmd(u[None])
+    # phase 3: carry — walk the base x/y setpoint toward the goal
+    g = np.asarray(world.get_actor_position_by_name("goal"))[0]
+    for _ in range(500):
+        b2 = np.asarray(world.get_actor_position_by_name("block"))[0]
+        d = g[:2] - q_hold[0:2]
+        dn = np.linalg.norm(d)
+        if dn > 1e-6:
+            q_hold[0:2] += min(vy_des * 0.04, dn) * d / dn
+        world.apply_robot_cmd(pd_hold(np.array([0.0, 0.0, fz]))[None])
         world.step()
         t += 1
         if t % 50 == 0:
             report("carry", t)
         b = np.asarray(world.get_actor_position_by_name("block"))[0]
-        g = np.asarray(world.get_actor_position_by_name("goal"))[0]
         if np.linalg.norm(b - g) < 0.2:
             report("SUCCESS", t)
             return
