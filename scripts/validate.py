@@ -177,6 +177,11 @@ def suite():
         # panda_stick_push.py + scripts/reach_analysis.py) lands ~step 1150
         ("panda_stick_push", mod("panda_stick_push").run, {"n_steps": 1500}),
         ("albert", mod("albert").run, {}),
+        # r5: the two reference examples the suite previously skipped —
+        # panda_effort exercises the effort-finger motor model in a full
+        # planner loop, multi_jackal the multi-robot scene path
+        ("panda_effort", mod("panda_reach").run, {"task": "panda_effort"}),
+        ("multi_jackal", mod("multi_robot").run_jackal, {}),
     ]
     out = {}
     for name, fn, kw in plan:
