@@ -79,7 +79,7 @@ def _geom_bound(scene, g) -> float:
     return off + r
 
 
-def block_gate(scene, blk, pos, margin=1e-3):
+def block_gate(scene, blk, pos, quat=None, margin=1e-3):
     """Scalar "possibly in contact" predicate for one pair block: any-lane
     bounding-sphere overlap on the bodies' origins (plane blocks: height test
     against z=0). False ⇒ every sample of the block is separated ⇒ the block
@@ -92,7 +92,27 @@ def block_gate(scene, blk, pos, margin=1e-3):
     # NaN comparisons make `separated` False, keeping the block on.
     if not blk["has_b"]:
         return ~jnp.all(ca[2] > ra + margin)
-    rb = _geom_bound(scene, blk["gb_geom"])
+    gb = blk["gb_geom"]
+    if quat is not None and int(scene.geom_type[gb]) == GEOM_BOX \
+            and np.allclose(np.asarray(scene.geom_quat[gb]), [0, 0, 0, 1], atol=1e-6):
+        # b-side box: EXACT point-to-box slab distance instead of a bounding
+        # sphere. Matters for big boxes: the pick table's bounding radius is
+        # ~0.67 m, so the sphere test kept every arm↔table block live even
+        # with the arm high above the table — 45% of the scene's penalty
+        # candidates (r5 census). Conservative/exact: all of A's geometry
+        # lies within ra of A's origin, so dist(origin_a, box_b) > ra+margin
+        # ⇒ no sample of either direction can touch. d is rotated into the
+        # box frame with the b body's (traced) quat — valid for rotated and
+        # moving boxes alike.
+        half = np.asarray(scene.geom_size[gb], np.float32)
+        db = L.qrot_inv(quat[blk["bb"]], L.sub3(ca, pos[blk["bb"]]))
+        off = np.asarray(scene.geom_pos[gb], np.float32)
+        e = [jnp.maximum(jnp.abs(db[i] - float(off[i])) - float(half[i]), 0.0)
+             for i in range(3)]
+        d2 = e[0] * e[0] + e[1] * e[1] + e[2] * e[2]
+        thr = ra + margin
+        return ~jnp.all(d2 > thr * thr)
+    rb = _geom_bound(scene, gb)
     d = L.sub3(ca, pos[blk["bb"]])
     thr = ra + rb + margin
     return ~jnp.all(L.dot3(d, d) > thr * thr)
@@ -345,6 +365,17 @@ def build_pair_blocks(scene, tables):
             npts=float(tables.n_pts[r0]) if len(tables.n_pts) else 4.0,
         )
         blk["swept"] = blk["a_free"] or blk["b_free"] or blk["a_sta"] or blk["b_sta"]
+        # STATIC (fixed, non-articulated) side flags — its net_cf REPORT for
+        # a free partner mirrors the free side's soft force (see
+        # physics/contact.py net_cf: the stiff bookkeeping spring is never
+        # physically applied, and its ~100 N transients through objectives'
+        # collision terms vetoed sampled grasps — r5 omni root cause)
+        from ...physics.contact import _articulated_body_mask, _free_body_mask
+
+        free_np = _free_body_mask(scene)
+        art_np = _articulated_body_mask(scene)
+        blk["a_static"] = bool(free_np[ba] == 0 and art_np[ba] == 0)
+        blk["b_static"] = bool(has_b and free_np[bb] == 0 and art_np[bb] == 0)
         # free-side body mass for couple blocks — the damper cap scale (see
         # physics/stacked.py DAMP_CAP_BETA)
         if blk["a_art"] or blk["b_art"]:
@@ -505,7 +536,7 @@ def contacts_lanes(scene, tables, pos, quat, linv, angv, fric_scale, dt_sub,
         static_n = blk["kind"] in ("cp", "bp")
         if not (emit_a or emit_b or blk["swept"]):
             continue   # fully-articulated non-swept pair: nothing to emit
-        gate = block_gate(scene, blk, pos) if BROADPHASE_GATE else None
+        gate = block_gate(scene, blk, pos, quat) if BROADPHASE_GATE else None
 
         def _narrow(blk=blk, ba=ba, bb=bb, has_b=has_b, mu=mu,
                     emit_a=emit_a, emit_b=emit_b, static_n=static_n):
@@ -538,12 +569,19 @@ def contacts_lanes(scene, tables, pos, quat, linv, angv, fric_scale, dt_sub,
             # gram-scale finger is unconditionally unstable)
             out = []
             if emit_a or emit_b:
-                force_a, _ = force_with(blk["kn_soft"] if blk["a_free"] else blk["kn"])
+                # a STATIC side reporting against a free partner emits the
+                # SOFT (physically-applied) force — Newton's reaction of what
+                # the free body feels — instead of the stiff bookkeeping
+                # spring (fixed bodies never move, so this is report-only;
+                # see build_pair_blocks a_static/b_static)
+                a_soft = blk["a_free"] or (blk["a_static"] and blk["b_free"])
+                b_soft = blk["b_free"] or (blk["b_static"] and blk["a_free"])
+                force_a, _ = force_with(blk["kn_soft"] if a_soft else blk["kn"])
                 if has_b and emit_b:
-                    if blk["b_free"] == blk["a_free"]:
+                    if b_soft == a_soft:
                         force_b = force_a
                     else:
-                        force_b, _ = force_with(blk["kn_soft"] if blk["b_free"] else blk["kn"])
+                        force_b, _ = force_with(blk["kn_soft"] if b_soft else blk["kn"])
             if emit_a:
                 out += list(_sum_s3(force_a)) + list(_sum_s3(L.cross3(point, force_a)))
             if emit_b:

@@ -548,8 +548,28 @@ def compute_contact_forces(
     f_ext = jnp.matmul(jnp.asarray(tables.acc_a, dt_), plk_a, precision=P) - jnp.matmul(
         jnp.asarray(tables.acc_b, dt_), plk_b, precision=P
     )
-    net_cf = jnp.matmul(jnp.asarray(tables.acc_a, dt_), force_a, precision=P) - jnp.matmul(
-        jnp.asarray(tables.acc_b, dt_), force_b, precision=P
+    # REPORTED net contact force: the STATIC side of a free↔static pair
+    # mirrors the free side's soft force (Newton's reaction of what is
+    # PHYSICALLY applied) instead of the stiff bookkeeping spring. The stiff
+    # value is never applied to the free body (it feels the soft spring + the
+    # impulse pass), and on a fixed body it has no dynamic effect at all —
+    # but objectives read it: the omni_panda_pick collision term saw ~350 N
+    # table-force transients during a squeeze (a ~3 mm pressed-down block ×
+    # couple stiffness) and vetoed every grasp the planner sampled (r5 root
+    # cause). PhysX reports the physical reaction there (~1 N scale).
+    # Impulse-pass reactions for these rows are added in impulse_contact_pass.
+    free_np = _free_body_mask(scene)
+    art_np = _articulated_body_mask(scene)
+    sta_np = 1.0 - np.maximum(free_np, art_np)
+    ba_np = scene.geom_body[tables.con_geom_a]
+    fb_np = np.where(tables.con_geom_b >= 0, tables.con_geom_b, tables.con_geom_a)
+    bb_np = scene.geom_body[fb_np]
+    a_sta_free = (sta_np[ba_np] > 0) & (tables.b_free > 0)
+    b_sta_free = (sta_np[bb_np] > 0) & (tables.a_free > 0) & (tables.con_geom_b >= 0)
+    rep_a = jnp.where(jnp.asarray(a_sta_free)[:, None], force_soft, force_a)
+    rep_b = jnp.where(jnp.asarray(b_sta_free)[:, None], force_soft, force_b)
+    net_cf = jnp.matmul(jnp.asarray(tables.acc_a, dt_), rep_a, precision=P) - jnp.matmul(
+        jnp.asarray(tables.acc_b, dt_), rep_b, precision=P
     )
     # fn_stiff rides along for COUPLE candidates (articulated↔free — the
     # impulse pass seeds its friction cone with the actual normal force the
@@ -924,10 +944,18 @@ def impulse_contact_pass(
     lin = jnp.clip(lin, -scene.max_root_linvel, scene.max_root_linvel)
     ang = jnp.clip(ang, -scene.max_root_angvel, scene.max_root_angvel)
     imp_tot = normal * lam_n[:, None] + lam_t
+    # STATIC bodies also REPORT the reaction of impulses their free partner
+    # received (no dynamic effect — they never move): a resting block's
+    # weight-bearing λ then shows up on the table's net_cf at the physical
+    # ~1 N scale (PhysX parity; objectives read these forces)
+    sta_np2 = 1.0 - np.maximum(free, _articulated_body_mask(scene))
+    a_sta_rep = jnp.asarray((sta_np2[ba] > 0) & (np.asarray(b_free) > 0), dt_)
+    b_sta_rep = jnp.asarray((sta_np2[bb] > 0) & (np.asarray(a_free) > 0)
+                            & (tables.con_geom_b >= 0), dt_)
     net_cf_imp = (
-        jnp.matmul(jnp.asarray(tables.acc_a, dt_) * (amask + amask_art)[None, :],
+        jnp.matmul(jnp.asarray(tables.acc_a, dt_) * (amask + amask_art + a_sta_rep)[None, :],
                    imp_tot, precision=jax.lax.Precision.HIGHEST)
-        - jnp.matmul(jnp.asarray(tables.acc_b, dt_) * (bmask + bmask_art)[None, :],
+        - jnp.matmul(jnp.asarray(tables.acc_b, dt_) * (bmask + bmask_art + b_sta_rep)[None, :],
                      imp_tot, precision=jax.lax.Precision.HIGHEST)
     ) / dt
     lam_out = jnp.concatenate([lam_n[:, None], lam_t], axis=-1)

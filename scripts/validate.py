@@ -180,7 +180,11 @@ def suite():
         # r5: the two reference examples the suite previously skipped —
         # panda_effort exercises the effort-finger motor model in a full
         # planner loop, multi_jackal the multi-robot scene path
-        ("panda_effort", mod("panda_reach").run, {"task": "panda_effort"}),
+        # effort-mode reach creeps ~0.9 mm/step under the velocity penalty;
+        # measured success at step 328 (r5 CPU diag) — cap 500 (the reference
+        # example runs n_steps=10000 with no success bar at all)
+        ("panda_effort", mod("panda_reach").run, {"task": "panda_effort",
+                                                  "n_steps": 500}),
         ("multi_jackal", mod("multi_robot").run_jackal, {}),
     ]
     out = {}
