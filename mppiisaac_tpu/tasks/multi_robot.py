@@ -68,7 +68,10 @@ class MultiJackalObjective(Objective):
     robot); this runner makes the config executable. Diff-drive chassis pose
     lives in root state (not dofs), so positions are read per actor index."""
 
-    def __init__(self, cfg=None, goals=((2.0, 1.0), (-0.5, 1.0)), min_sep=0.7):
+    # goals are laterally offset so the two crossing paths pass ~1.4 m apart:
+    # symmetric goals ((2,1),(-0.5,1)) deadlock head-on at exactly the 0.7 m
+    # separation ring (r5 diag — each robot blocks the other's straight line)
+    def __init__(self, cfg=None, goals=((2.0, 0.7), (-0.5, -0.7)), min_sep=0.7):
         self.goals = [np.asarray(g, dtype=np.float32) for g in goals]
         self.min_sep = min_sep
         self.weights = {"nav": 1.0, "separation": 3.0}

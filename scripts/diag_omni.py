@@ -15,6 +15,12 @@ import numpy as np
 
 
 def main(n_steps=600, seed=0, every=25, use_fused=1, *overrides):
+    mu = os.environ.get("MU_SPINDLE")
+    if mu is not None:
+        import mppiisaac_tpu.physics.stacked as stk
+
+        stk.MU_SPINDLE = float(mu)
+        print(f"MU_SPINDLE={stk.MU_SPINDLE}")
     from mppiisaac_tpu.runtime.loop import run_task
     from mppiisaac_tpu.tasks.omni_panda_pick import OmniPandaPickObjective
     from mppiisaac_tpu.utils.config_store import load_config

@@ -89,6 +89,10 @@ def pick(fidelity="fast", n_seeds=5, task="panda_pick", substeps="", sweeps="",
         over.append(f"mppi.rollout_sweeps={sweeps}")
     if manifold:
         over.append(f"mppi.rollout_manifold={manifold}")
+    # extra hydra-style overrides via env (e.g. mppi.horizon=12 sweeps),
+    # recorded in the results key so rows stay distinguishable
+    extra = [o for o in os.environ.get("VALIDATE_EXTRA", "").split(",") if o]
+    over += extra
     cfg = load_config(f"tasks/{task}", over)
     obj = Obj(cfg)
 
@@ -115,7 +119,8 @@ def pick(fidelity="fast", n_seeds=5, task="panda_pick", substeps="", sweeps="",
     print("SUMMARY " + json.dumps(s))
     print(f"SUCCESS {s['successes']}/{s['episodes']}")
     _record(f"{task}:{fidelity}:{substeps or 'world-match'}:sw{sweeps or 'd'}"
-            + (f":{manifold}" if manifold else ""), s)
+            + (f":{manifold}" if manifold else "")
+            + (":" + ",".join(extra) if extra else ""), s)
     return s
 
 
