@@ -31,7 +31,7 @@ import os as _os
 
 FIDELITY = _os.environ.get("BENCH_FIDELITY", "world")
 SUBSTEPS = _os.environ.get("BENCH_SUBSTEPS", "")     # "" = match world sim
-SWEEPS = _os.environ.get("BENCH_SWEEPS", "2")
+SWEEPS = _os.environ.get("BENCH_SWEEPS", "1")   # r5 shipped config (10/10)
 MANIFOLD = _os.environ.get("BENCH_MANIFOLD", "reduced")
 
 

@@ -16,14 +16,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def run_combo(h, sig_grip, seed=0, n_steps=1500):
+def run_combo(h, sig_grip, sig_base=20.0, sig_arm=8.0, seed=0, n_steps=1500):
     from mppiisaac_tpu.runtime.loop import run_task
     from mppiisaac_tpu.tasks.omni_panda_pick import OmniPandaPickObjective
     from mppiisaac_tpu.utils.config_store import load_config
 
-    base = [20.0] * 3 + [8.0] * 3 + [8.0] * 4 + [sig_grip] * 2
-    # reference sigma layout: base x/y/yaw 20, arm j1-j7 8, fingers sig_grip
-    diag = [20.0] * 3 + [8.0] * 7 + [float(sig_grip)] * 2
+    # reference sigma layout: base x/y/yaw 20, arm j1-j7 8, fingers 1.0
+    diag = [float(sig_base)] * 3 + [float(sig_arm)] * 7 + [float(sig_grip)] * 2
     mat = [[diag[i] if i == j else 0.0 for j in range(12)] for i in range(12)]
     over = [f"mppi.horizon={int(h)}", f"mppi.seed_val={int(seed)}",
             f"mppi.noise_sigma={mat}"]
@@ -41,16 +40,17 @@ def run_combo(h, sig_grip, seed=0, n_steps=1500):
 
     m = run_task(cfg, obj, n_steps=n_steps, success_fn=success,
                  device_steps=16, use_fused=True)
-    print(f"COMBO h={h} sig_grip={sig_grip} seed={seed}: success={m.success_step}"
+    print(f"COMBO h={h} sg={sig_grip} sb={sig_base} sa={sig_arm} seed={seed}: success={m.success_step}"
           f" final|b-g|={tel.get('bg'):.3f} block={tel.get('b')}", flush=True)
     return m.success_step, tel.get("bg")
 
 
 def main():
-    combos = [c.split(":") for c in (sys.argv[1:] or
-              ["6:2.5", "6:4.0", "12:2.5", "24:2.5"])]
-    for h, s in combos:
-        run_combo(float(h), float(s))
+    for c in (sys.argv[1:] or ["6:1:5:3", "12:1:5:3"]):
+        p = [float(v) for v in c.split(":")]
+        # h:sig_grip[:sig_base[:sig_arm]]
+        run_combo(p[0], p[1], p[2] if len(p) > 2 else 20.0,
+                  p[3] if len(p) > 3 else 8.0)
 
 
 if __name__ == "__main__":
